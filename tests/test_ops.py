@@ -1,0 +1,140 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wfsim_tpu.ops.waveform import make_templates, photons_to_waveform
+from wfsim_tpu.ops.zle import zle_all_channels, find_intervals
+from wfsim_tpu.ops.interp import GridMap, regrid_scattered
+from wfsim_tpu.ops.randsample import categorical_from_cdf
+from wfsim_tpu.ops.segment import repeat_to_capacity
+
+from .reference_semantics import intervals_below_threshold, scatter_spe
+
+
+def test_templates_normalized():
+    from wfsim_tpu.config import default_config
+    c = default_config()
+    t = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
+    assert t.shape == (10, 22)
+    # every template integrates to one PE per sample duration
+    np.testing.assert_allclose(t.sum(axis=1), 0.1, rtol=1e-5)
+    assert (t >= 0).all()
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_waveform_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    n_ch, n_s = 16, 256
+    n_photon = 300
+    templates = make_templates(
+        np.arange(-13, 196), np.exp(-np.clip(np.arange(-13, 196), 0, None) / 25.0)
+        * (np.arange(-13, 196) >= 0))
+    left = 1000
+    times = rng.integers(left * 10, (left + n_s - 30) * 10, n_photon).astype(np.int32)
+    channels = rng.integers(0, n_ch, n_photon).astype(np.int32)
+    gains = rng.uniform(0.5, 2e6, n_photon).astype(np.float32)
+    valid = rng.random(n_photon) < 0.9
+
+    W = photons_to_waveform(
+        jnp.asarray(times), jnp.asarray(channels), jnp.asarray(gains),
+        jnp.asarray(valid), left, jnp.asarray(templates),
+        n_channels=n_ch, n_samples=n_s)
+    W_ref = scatter_spe(times[valid], channels[valid], gains[valid],
+                        left, n_ch, n_s, templates)
+    np.testing.assert_allclose(np.asarray(W), W_ref, rtol=2e-5, atol=2e-5 * gains.max())
+
+
+@pytest.mark.parametrize('seed', list(range(6)))
+def test_zle_matches_sequential_oracle(seed):
+    rng = np.random.default_rng(seed)
+    T, C = 400, 4
+    holdoff = 11
+    data = rng.integers(15950, 16050, (C, T)).astype(np.int32)
+    thresholds = np.full(C, 15984, np.int32)
+    ch_left = np.zeros(C, np.int32)
+    ch_right = np.full(C, T - 1, np.int32)
+    mask = np.ones(C, bool)
+
+    starts, ends, counts = find_intervals(
+        jnp.asarray(data < thresholds[:, None]), holdoff=holdoff, max_intervals=64)
+    for c in range(C):
+        ref = intervals_below_threshold(data[c], thresholds[c], holdoff)
+        n = int(counts[c])
+        assert n == len(ref)
+        got = list(zip(np.asarray(starts[c][:n]).tolist(),
+                       np.asarray(ends[c][:n]).tolist()))
+        assert got == ref
+
+
+def test_zle_window_and_alignment():
+    # One clear dip in one channel, check +-trigger window, clipping, even bounds
+    T, C = 300, 2
+    data = np.full((C, T), 16000, np.int32)
+    data[0, 100:110] = 100
+    thresholds = np.full(C, 15984, np.int32)
+    ch_left = np.array([40, 0], np.int32)
+    ch_right = np.array([260, 0], np.int32)
+    mask = np.array([True, False])
+    starts, ends, counts = zle_all_channels(
+        jnp.asarray(data), jnp.asarray(thresholds), jnp.asarray(ch_left),
+        jnp.asarray(ch_right), jnp.asarray(mask),
+        holdoff=101, trigger_window=50, max_intervals=16)
+    assert int(counts[0]) == 1 and int(counts[1]) == 0
+    s, e = int(starts[0, 0]), int(ends[0, 0])
+    # window-relative: dip at 100-109 abs -> 60-69 rel; +-50 -> 10..119; even
+    assert s == 10 and e == 118
+
+
+def test_gridmap_constant_and_linear():
+    m = GridMap.constant(3.5, out_dim=1, ndim_in=3)
+    pts = np.random.default_rng(0).uniform(-5, 5, (20, 3))
+    np.testing.assert_allclose(np.asarray(m(pts)), 3.5, rtol=1e-6)
+
+    # linear fn reproduced exactly by multilinear interp
+    ax = [np.linspace(0, 1, 5), np.linspace(-2, 2, 9)]
+    g = np.add.outer(2 * ax[0], 3 * ax[1])
+    m2 = GridMap.from_axes(g, ax)
+    pts2 = np.random.default_rng(1).uniform([0, -2], [1, 2], (50, 2))
+    np.testing.assert_allclose(np.asarray(m2(pts2)),
+                               2 * pts2[:, 0] + 3 * pts2[:, 1], rtol=1e-4, atol=1e-5)
+
+
+def test_regrid_scattered_recovers_smooth_map():
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, (500, 2))
+    vals = np.sin(pts[:, 0]) + pts[:, 1] ** 2
+    m = regrid_scattered(pts, vals, n_grid=40)
+    q = rng.uniform(-0.8, 0.8, (100, 2))
+    est = np.asarray(m(q))
+    true = np.sin(q[:, 0]) + q[:, 1] ** 2
+    assert np.abs(est - true).max() < 0.1
+
+
+def test_categorical_from_cdf_distribution():
+    rng = np.random.default_rng(3)
+    p = np.array([[0.1, 0.0, 0.5, 0.4], [0.25, 0.25, 0.25, 0.25]])
+    cdf = jnp.asarray(np.cumsum(p, axis=1))
+    n = 20000
+    row = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    u = jnp.asarray(rng.random(n).astype(np.float32))
+    cat = np.asarray(categorical_from_cdf(cdf, row, u))
+    for r in range(2):
+        sel = cat[np.asarray(row) == r]
+        freq = np.bincount(sel, minlength=4) / len(sel)
+        np.testing.assert_allclose(freq, p[r], atol=0.02)
+    # zero-mass row yields -1
+    cdf0 = jnp.asarray(np.zeros((1, 4)))
+    out = categorical_from_cdf(cdf0, jnp.zeros(5, jnp.int32), u[:5])
+    assert (np.asarray(out) == -1).all()
+
+
+def test_repeat_to_capacity():
+    vals = jnp.asarray([10., 20., 30.])
+    counts = jnp.asarray([2, 0, 3])
+    rep, seg, valid, total = repeat_to_capacity(vals, counts, 8)
+    assert int(total) == 5
+    np.testing.assert_array_equal(np.asarray(rep)[np.asarray(valid)],
+                                  [10., 10., 30., 30., 30.])
+    np.testing.assert_array_equal(np.asarray(seg)[np.asarray(valid)],
+                                  [0, 0, 2, 2, 2])

@@ -1,0 +1,35 @@
+"""Fixed-capacity ragged helpers.
+
+The physics is ragged (each instruction produces a different number of
+photons/electrons); TPUs want static shapes.  The core trick everywhere in
+this framework: lay the ragged axis out in a fixed-capacity padded buffer,
+derive a per-slot segment id by searchsorted on the count cumsum, and carry a
+validity mask.  This replaces every ``np.repeat`` in the reference
+(e.g. wfsim/core/s1.py:180, s2.py:111,555).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ['segment_ids_from_counts', 'repeat_to_capacity']
+
+
+def segment_ids_from_counts(counts: jnp.ndarray, capacity: int):
+    """Given per-segment counts (S,), produce (seg_id (capacity,), valid mask,
+    total).  Slot i belongs to the segment whose cumulative range contains i.
+    Overflow beyond ``capacity`` is truncated (callers check ``total``)."""
+    counts = jnp.asarray(counts, dtype=jnp.int32)
+    csum = jnp.cumsum(counts)
+    total = csum[-1] if counts.shape[0] > 0 else jnp.int32(0)
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    seg_id = jnp.searchsorted(csum, slots, side='right').astype(jnp.int32)
+    valid = slots < total
+    seg_id = jnp.where(valid, seg_id, counts.shape[0] - 1)
+    seg_id = jnp.clip(seg_id, 0, max(counts.shape[0] - 1, 0))
+    return seg_id, valid, total
+
+
+def repeat_to_capacity(values: jnp.ndarray, counts: jnp.ndarray, capacity: int):
+    """np.repeat(values, counts) into a fixed-size buffer + validity mask."""
+    seg_id, valid, total = segment_ids_from_counts(counts, capacity)
+    return values[seg_id], seg_id, valid, total

@@ -1,0 +1,127 @@
+"""Photons -> per-channel waveform grid.
+
+This replaces the reference's innermost hot loop ``Pulse.add_current``
+(reference: wfsim/core/pulse.py:276-318), which scatter-adds a 22-sample SPE
+current template (one of 10 one-nanosecond sub-sample phases) per photon into
+a per-channel waveform, one channel at a time in numba.
+
+TPU-native formulation (two phases, both dense):
+
+1. **Phase histogram** — scatter-add each photon's gain into a
+   (channels, samples, 10) histogram ``H`` indexed by (channel,
+   sample = t//dt - left, remainder = t%dt).  One scalar update per photon;
+   duplicates coalesce in the scatter (the reference coalesced same-ns photons
+   by sorting, pulse.py:297-313).
+2. **Template convolution** — the waveform is then exactly a 1-D convolution
+   along the sample axis with the (10 -> 1)-feature template bank:
+   ``W[c, u] = sum_{r,k} H[c, u-k, r] * T[r, k]``.  This runs as a dense XLA
+   TPU convolution (MXU/VPU), fused with the downstream elementwise work.
+
+All shapes are static; validity is carried as a mask.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ['make_templates', 'photons_to_waveform', 'template_extent']
+
+
+def make_templates(pe_pulse_ts, pe_pulse_ys,
+                   sample_duration: int = 10,
+                   samples_before: int = 2,
+                   samples_after: int = 20) -> np.ndarray:
+    """Build the (sample_duration, template_length) SPE current template bank.
+
+    Same construction as the reference (wfsim/core/pulse.py:146-187):
+    interpolate the SPE pulse CDF so every template integrates to exactly one
+    PE per sample_duration, one template per 1-ns sub-sample remainder.
+    Template row r applies to photons with ``t % dt == r``.
+    """
+    ts = np.asarray(pe_pulse_ts, dtype=np.float64)
+    cdf_y = np.cumsum(np.asarray(pe_pulse_ys, dtype=np.float64))
+
+    def pe_pulse_cdf(x):
+        return np.interp(x, ts, cdf_y, left=0.0, right=1.0)
+
+    samples = np.linspace(-samples_before * sample_duration,
+                          samples_after * sample_duration,
+                          1 + samples_before + samples_after)
+    templates = []
+    for r in range(sample_duration):
+        current = np.diff(pe_pulse_cdf(samples - r)) / sample_duration
+        current *= (1 / sample_duration) / np.sum(current)
+        templates.append(current)
+    return np.asarray(templates, dtype=np.float32)
+
+
+def template_extent(config) -> tuple:
+    """(samples_before_pulse_center, samples_after_pulse_center)."""
+    return (int(config.get('samples_before_pulse_center', 2)),
+            int(config.get('samples_after_pulse_center', 20)))
+
+
+@partial(jax.jit, static_argnames=('n_channels', 'n_samples', 'sample_duration'))
+def photons_to_waveform(times, channels, gains, valid,
+                        left_sample,
+                        templates,
+                        *,
+                        n_channels: int,
+                        n_samples: int,
+                        sample_duration: int = 10):
+    """Accumulate photon hits into a dense (n_channels, n_samples) waveform.
+
+    Device-side times are int32 nanosecond offsets from a host-tracked int64
+    base time (windows are bounded well below 2^31 ns); this keeps the whole
+    compute path in native 32-bit TPU arithmetic.
+
+    :param times:    (N,) int32 photon arrival times [ns, window-relative]
+    :param channels: (N,) int32 PMT channel per photon
+    :param gains:    (N,) float32 per-photon gain (electrons / PE)
+    :param valid:    (N,) bool validity mask (padding slots are False)
+    :param left_sample: scalar int — sample index (in the same relative frame)
+        of waveform column 0
+    :param templates: (sample_duration, L) float32 SPE template bank
+    :returns: (n_channels, n_samples) float32 current waveform, in the same
+        current units as the reference (pe / sample_duration scaled by gain).
+
+    Placement matches the reference exactly: a photon at time t adds
+    ``gain * templates[t % dt]`` starting at sample ``t // dt``
+    (reference: wfsim/core/pulse.py:303-318).
+    """
+    dt = sample_duration
+    L = templates.shape[1]
+    t32 = times.astype(jnp.int32)
+    s = (t32 // dt - left_sample).astype(jnp.int32)
+    r = (t32 % dt).astype(jnp.int32)
+
+    ok = valid & (s >= 0) & (s < n_samples) & (channels >= 0) & (channels < n_channels)
+    g = jnp.where(ok, gains, 0.0).astype(jnp.float32)
+    # Route masked photons to slot 0 with zero gain
+    s = jnp.where(ok, s, 0)
+    r = jnp.where(ok, r, 0)
+    ch = jnp.where(ok, channels, 0).astype(jnp.int32)
+
+    flat_idx = (ch.astype(jnp.int32) * n_samples + s) * dt + r
+    H = jnp.zeros((n_channels * n_samples * dt,), dtype=jnp.float32)
+    H = H.at[flat_idx].add(g)
+    H = H.reshape(n_channels, n_samples, dt)
+
+    # W[c, u] = sum_{k} H[c, u - k, :] . T[:, k]  — causal conv along samples.
+    # XLA convs are cross-correlations, so flip the kernel and left-pad by L-1.
+    kernel = jnp.flip(templates, axis=1).astype(jnp.float32)  # (dt, L)
+    kernel = jnp.transpose(kernel)[:, :, None]                # (L, dt, 1) WIO
+    W = jax.lax.conv_general_dilated(
+        H, kernel,
+        window_strides=(1,),
+        padding=((L - 1, 0),),
+        dimension_numbers=('NWC', 'WIO', 'NWC'),
+        preferred_element_type=jnp.float32,
+        # full f32: default TPU conv precision truncates operands to bf16,
+        # which costs ~0.4% per-sample error — visible after ADC rounding
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return W[:, :, 0]

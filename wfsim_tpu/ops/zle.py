@@ -1,0 +1,107 @@
+"""Zero-length-encoding (self-trigger) interval finding, vectorized on device.
+
+The reference scans each channel's waveform sequentially in numba
+(``find_intervals_below_threshold``, reference: wfsim/utils.py:14-58, called
+from wfsim/core/rawdata.py:274-311).  Here the same semantics are computed
+for ALL channels at once with data-parallel primitives:
+
+- ``below`` mask per sample,
+- gap-bridging via a running maximum of the last below-threshold index
+  (a gap of <= holdoff samples between below-threshold samples joins runs,
+  exactly the reference's holdoff rule),
+- interval extraction via scatter-min/max into a fixed-capacity buffer.
+
+Output is (starts, ends, count) per channel with static shapes; the ragged
+packing into records happens at the host boundary (pipeline/packing.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['find_intervals', 'zle_all_channels']
+
+_BIG = jnp.int32(2 ** 30)
+
+
+def _find_intervals_1ch(below, holdoff: int, max_intervals: int):
+    """Interval finding on one boolean mask (T,).  Returns (starts, ends,
+    count): inclusive bounds of merged below-threshold intervals."""
+    T = below.shape[0]
+    idx = jnp.arange(T, dtype=jnp.int32)
+    below_idx = jnp.where(below, idx, -_BIG)
+    # Index of the most recent below-threshold sample strictly before i
+    prev_below = jnp.concatenate([
+        jnp.full((1,), -_BIG, dtype=jnp.int32),
+        jax.lax.cummax(below_idx)[:-1]])
+    # A below sample starts a new interval iff the previous below sample is
+    # more than `holdoff` samples back (reference close rule: utils.py:44-45).
+    new_start = below & ((idx - prev_below) > holdoff)
+    interval_id = jnp.where(below, jnp.cumsum(new_start.astype(jnp.int32)) - 1, -1)
+    interval_id_c = jnp.clip(interval_id, 0, max_intervals - 1)
+
+    starts = jnp.full((max_intervals,), _BIG, dtype=jnp.int32)
+    ends = jnp.full((max_intervals,), -_BIG, dtype=jnp.int32)
+    starts = starts.at[interval_id_c].min(jnp.where(below, idx, _BIG))
+    ends = ends.at[interval_id_c].max(jnp.where(below, idx, -_BIG))
+    count = jnp.minimum(jnp.max(interval_id) + 1, max_intervals)
+    return starts, ends, count
+
+
+@partial(jax.jit, static_argnames=('holdoff', 'max_intervals'))
+def find_intervals(below: jnp.ndarray, *, holdoff: int, max_intervals: int):
+    """vmapped interval finder. ``below``: (C, T) bool. Returns
+    starts (C, K), ends (C, K), counts (C,)."""
+    return jax.vmap(lambda b: _find_intervals_1ch(b, holdoff, max_intervals))(below)
+
+
+@partial(jax.jit, static_argnames=('holdoff', 'max_intervals', 'trigger_window'))
+def zle_all_channels(data: jnp.ndarray,
+                     thresholds: jnp.ndarray,
+                     ch_left: jnp.ndarray,
+                     ch_right: jnp.ndarray,
+                     ch_mask: jnp.ndarray,
+                     *,
+                     holdoff: int,
+                     trigger_window: int,
+                     max_intervals: int):
+    """Full ZLE pass over the digitized grid.
+
+    Mirrors RawData.ZLE (reference: wfsim/core/rawdata.py:274-311): per active
+    channel, scan data[ch_left:ch_right+1] for below-threshold intervals, pad
+    by +-trigger_window, clip to the channel window, land bounds on even
+    sample offsets (digitizer quirk), and return window-relative inclusive
+    bounds.
+
+    :param data: (C, T) int32 digitized waveform grid
+    :param thresholds: (C,) int32 per-channel ZLE threshold (ADC)
+    :param ch_left/ch_right: (C,) int32 active window per channel (grid-relative)
+    :param ch_mask: (C,) bool channel active mask
+    :returns: (starts, ends, counts) — starts/ends are (C, K) int32 offsets
+        relative to each channel's ``ch_left`` (like the reference's per-channel
+        view), counts (C,) int32.  Inactive channels have count 0.
+    """
+    C, T = data.shape
+    idx = jnp.arange(T, dtype=jnp.int32)
+    in_window = (idx[None, :] >= ch_left[:, None]) & (idx[None, :] <= ch_right[:, None])
+    below = (data < thresholds[:, None]) & in_window & ch_mask[:, None]
+
+    starts, ends, counts = find_intervals(below, holdoff=holdoff,
+                                          max_intervals=max_intervals)
+    # Make bounds relative to the channel window (reference views the
+    # per-channel slice before searching)
+    starts = starts - ch_left[:, None]
+    ends = ends - ch_left[:, None]
+    length = (ch_right - ch_left + 1)[:, None]
+
+    starts = starts - trigger_window
+    ends = ends + trigger_window
+    starts = jnp.clip(starts, 0, length - 1)
+    ends = jnp.clip(ends, 0, length - 1)
+    # Land trigger window on even offsets (reference: rawdata.py:306-308)
+    starts = ((starts + 1) // 2) * 2
+    ends = (ends // 2) * 2
+    counts = jnp.where(ch_mask, counts, 0)
+    return starts, ends, counts
