@@ -1,0 +1,151 @@
+"""Integration tests for the full chain on the hermetic default config,
+mirroring the reference's test strategy (dummy maps + statistical sanity,
+reference tests/test_wfsim.py)."""
+import numpy as np
+import pytest
+
+import wfsim_tpu
+from wfsim_tpu.config import default_config
+from wfsim_tpu.dtypes import instruction_dtype
+from wfsim_tpu.interface.simulator import Simulator
+
+
+def kr_like_instructions(n=3, amp_s1=2000, amp_s2=300, seed=0):
+    rng = np.random.default_rng(seed)
+    inst = np.zeros(2 * n, dtype=instruction_dtype)
+    inst['event_number'] = np.repeat(np.arange(n), 2)
+    inst['type'] = np.tile([1, 2], n)
+    inst['time'] = np.repeat((np.arange(n) + 1) * 100_000_000, 2)
+    r = np.sqrt(rng.uniform(0, 45 ** 2, n))
+    th = rng.uniform(-np.pi, np.pi, n)
+    inst['x'] = np.repeat(r * np.cos(th), 2)
+    inst['y'] = np.repeat(r * np.sin(th), 2)
+    inst['z'] = np.repeat(rng.uniform(-90, -10, n), 2)
+    inst['amp'] = np.tile([amp_s1, amp_s2], n)
+    inst['recoil'] = 7
+    return inst
+
+
+@pytest.fixture(scope='module')
+def basic_run():
+    c = default_config()
+    c['chunk_size'] = 1
+    c['seed'] = 1234
+    sim = Simulator(c)
+    inst = kr_like_instructions()
+    out = sim.get_arrays(inst)
+    return c, inst, out
+
+
+def test_raw_records_sane(basic_run):
+    c, inst, out = basic_run
+    rr = out['raw_records']
+    assert len(rr) > 0
+    assert np.all(np.diff(rr['time']) >= -10 * 110)  # sorted per chunk
+    assert rr['dt'][0] == 10
+    assert rr['data'].min() >= 0
+    assert rr['data'].max() <= 16000
+    assert np.all(rr['channel'] < 494)
+    assert np.all(rr['length'] <= 110)
+    # pulse continuity: record_i fragments cover pulse_length
+    assert np.all(rr['pulse_length'] >= rr['length'])
+
+
+def test_truth_matches_instructions(basic_run):
+    c, inst, out = basic_run
+    truth = out['truth']
+    assert len(truth) == len(inst)
+    s1 = truth[truth['type'] == 1]
+    s2 = truth[truth['type'] == 2]
+    assert len(s1) == len(s2) == len(inst) // 2
+    # S1 photon counts ~ Binomial(amp, LCE/(1+p_dpe)*eff)
+    ly = (494 * 14e-5) / (1 + c['p_double_pe_emision']) * 0.12
+    expect = 2000 * ly
+    assert np.all(np.abs(s1['n_photon'] - expect) < 6 * np.sqrt(expect) + 5)
+    # S2 electron survival from lifetime
+    drift = -inst[inst['type'] == 2]['z'] / c['drift_velocity_liquid'] \
+        + c['drift_time_gate']
+    surv = np.exp(-drift / c['electron_lifetime_liquid'])
+    expect_e = 300 * surv
+    assert np.all(np.abs(s2['n_electron'] - expect_e)
+                  < 6 * np.sqrt(expect_e) + 5)
+    # photons per electron ~ sc_gain
+    gain = c['s2_secondary_sc_gain'] / (1 + c['p_double_pe_emision'])
+    ratio = s2['n_photon'] / np.maximum(s2['n_electron'], 1)
+    assert np.all(np.abs(ratio - gain) < 2.0)
+    # timing truth is self-consistent
+    ok = truth['n_photon'] > 0
+    assert np.all(truth['t_first_photon'][ok] <= truth['t_mean_photon'][ok])
+    assert np.all(truth['t_mean_photon'][ok] <= truth['t_last_photon'][ok])
+    assert np.all(truth['endtime'][ok] >= truth['t_last_photon'][ok])
+
+
+def test_waveform_area_matches_truth(basic_run):
+    """Summed ADC area of the records should track truth raw_area (the
+    reference enforces this only statistically; we check within tolerance
+    given ZLE truncation)."""
+    c, inst, out = basic_run
+    rr = out['raw_records']
+    truth = out['truth']
+    baseline = c['digitizer_reference_baseline']
+    # total pulse area in ADC counts (signal is a downward excursion from
+    # baseline; exclude zero-padded record tails via the length field)
+    area_adc = 0
+    for rec in rr:
+        d = rec['data'][:rec['length']]
+        area_adc += (baseline - d[d > 0]).clip(0).sum()
+    # one PE of gain g integrates to g * (1/dt) * current_2_adc ADC counts
+    gain = np.asarray(c['gains']).mean()
+    expect = (truth['raw_area'].sum() * gain * c['current_2_adc']
+              / c['sample_duration'])
+    assert 0.9 * expect < area_adc < 1.1 * expect
+
+
+def test_seed_reproducibility():
+    c = default_config()
+    c['chunk_size'] = 1
+    c['seed'] = 77
+    inst = kr_like_instructions(n=2)
+    out1 = Simulator(c).get_arrays(inst)
+    out2 = Simulator(c).get_arrays(inst)
+    assert len(out1['raw_records']) == len(out2['raw_records'])
+    np.testing.assert_array_equal(out1['raw_records']['data'],
+                                  out2['raw_records']['data'])
+    np.testing.assert_array_equal(out1['truth']['n_photon'],
+                                  out2['truth']['n_photon'])
+
+
+def test_chunk_boundaries():
+    c = default_config()
+    c['chunk_size'] = 1
+    c['seed'] = 5
+    sim = Simulator(c)
+    inst = kr_like_instructions(n=4)
+    inst['time'] = np.repeat([5e8, 8e8, 1.5e9, 2.5e9], 2).astype(np.int64)
+    chunks = list(sim.run(inst))
+    assert len(chunks) >= 2
+    prev_end = None
+    for chk in chunks:
+        rr = chk['raw_records']
+        assert chk['end'] > chk['start']
+        if prev_end is not None:
+            assert chk['start'] == prev_end
+        prev_end = chk['end']
+        if len(rr):
+            assert rr['time'].min() >= chk['start']
+            assert rr['time'].max() <= chk['end']
+
+
+def test_s1_only_and_s2_only():
+    c = default_config()
+    c['seed'] = 9
+    for typ in (1, 2):
+        inst = np.zeros(2, dtype=instruction_dtype)
+        inst['type'] = typ
+        inst['time'] = [1e8, 2e8]
+        inst['x'], inst['y'], inst['z'] = 5., 5., -50.
+        inst['amp'] = 500
+        inst['recoil'] = 7
+        out = Simulator(c).get_arrays(inst)
+        assert len(out['raw_records']) > 0
+        assert np.all(out['truth']['type'] == typ)

@@ -8,6 +8,22 @@ zero-length encoding, and shard_map event parallelism over device meshes.
 """
 __version__ = '0.1.0'
 
+import os as _os
+
+# Persistent XLA compilation cache: the pipeline compiles one program per
+# (photon-capacity, window-length) bucket; caching makes every process after
+# the first start warm.  Opt out with WFSIM_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get('WFSIM_TPU_NO_COMPILE_CACHE'):
+    _cache_dir = _os.environ.get(
+        'JAX_COMPILATION_CACHE_DIR',
+        _os.path.expanduser('~/.cache/wfsim_tpu_xla'))
+    try:
+        import jax as _jax
+        _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+        _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .units import *                        # noqa: F401,F403
 from . import units                         # noqa: F401
 from .dtypes import (                       # noqa: F401
@@ -16,3 +32,19 @@ from .dtypes import (                       # noqa: F401
     PULSE_TYPE_NAMES)
 from .config import (                       # noqa: F401
     default_config, load_fax_config, finalize_config, deterministic_hash)
+from .resources import Resource, load_config, make_map, DummyMap  # noqa: F401
+from .pipeline import (                      # noqa: F401
+    RawDataTPU, RawDataOpticalTPU, ChunkRawRecords, digitize_window)
+from .interface import (                     # noqa: F401
+    Simulator, rand_instructions, random_instructions,
+    instruction_from_csv, read_optical)
+from .utils import optical_adjustment        # noqa: F401
+
+# Aliases matching the reference's public names (wfsim/__init__.py exports
+# everything flat; RawData/RawDataOptical are the core entry classes)
+RawData = RawDataTPU
+RawDataOptical = RawDataOpticalTPU
+
+# strax plugin layer and contexts load lazily only when strax is installed
+from .interface.strax_plugins import *       # noqa: F401,F403
+from .interface.contexts import *            # noqa: F401,F403

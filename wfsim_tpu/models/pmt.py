@@ -1,0 +1,147 @@
+"""PMT response stage: transit-time spread, double-PE emission, SPE gain
+sampling, and truth counters.
+
+TPU-native replacement for the reference's per-channel python loop in
+``Pulse.__call__`` (reference: wfsim/core/pulse.py:39-144): all photons of a
+batch are processed at once; per-truth-row aggregation uses scatter-adds
+instead of accumulating dicts.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import trunc_int
+
+__all__ = ['pmt_response', 'photon_time_stats']
+
+
+def pmt_response(params, const, t, ch, valid, truth_row, key,
+                 *, n_truth_rows: int, preset_gain=None, count_truth=True):
+    """Apply the PMT response to a photon batch.
+
+    :param t: (N,) int32 photon times (window-relative ns)
+    :param ch: (N,) int32 channels
+    :param valid: (N,) bool
+    :param truth_row: (N,) int32 truth-row id per photon
+    :param preset_gain: (N,) float32 — set for PMT afterpulse photons, whose
+        gains are assigned from amplitude CDFs and which skip TTS and DPE
+        (reference: pulse.py:52-56, 95-107)
+    :returns: (photons dict, truth dict or None)
+    """
+    k_tts, k_dpe, k_g1, k_g2 = jax.random.split(key, 4)
+    n = t.shape[0]
+
+    if preset_gain is None:
+        tts = jax.random.normal(k_tts, (n,)) * (
+            const.pmt_transit_time_spread / 2.35482) + const.pmt_transit_time_mean
+        t = t + trunc_int(tts)
+        is_dpe = jax.random.uniform(k_dpe, (n,)) < const.p_double_pe_emision
+        u1 = jax.random.uniform(k_g1, (n,))
+        u2 = jax.random.uniform(k_g2, (n,))
+        idx1 = (u1 * 2000).astype(jnp.int32) + 1
+        idx2 = (u2 * 2000).astype(jnp.int32) + 1
+        chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
+        g1 = params.gains[chc] * params.uniform_to_pe[chc, idx1]
+        g2 = params.gains[chc] * params.uniform_to_pe[chc, idx2]
+        gain = g1 + jnp.where(is_dpe, g2, 0.0)
+    else:
+        is_dpe = jnp.zeros(n, dtype=bool)
+        gain = preset_gain
+        chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
+
+    # Photons on turned-off PMTs are dropped entirely (reference: pulse.py:89)
+    valid = valid & (ch >= 0) & (ch < params.gains.shape[0]) & params.live_mask[chc]
+
+    photons = dict(t=t, ch=ch, gain=gain.astype(jnp.float32),
+                   is_dpe=is_dpe, valid=valid, truth_row=truth_row)
+
+    truth = None
+    if count_truth:
+        truth = _pulse_truth(params, const, photons, n_truth_rows)
+    return photons, truth
+
+
+def _pulse_truth(params, const, ph, n_truth_rows: int):
+    """Truth counters per row (reference: wfsim/core/pulse.py:229-271).
+
+    The trigger test: the photon's peak amplitude in ADC
+    (gain * template-peak(remainder) * current_2_adc) must exceed the channel
+    threshold.  Note: the reference counts triggered DPE photons with a
+    positional quirk (``above_threshold[:n_double_pe]``, pulse.py:255); we use
+    the exact DPE mask — statistically identical.
+    """
+    t, ch, gain, valid = ph['t'], ph['ch'], ph['gain'], ph['valid']
+    row = jnp.where(valid, ph['truth_row'], 0)
+    chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
+    dt = const.sample_duration
+
+    remainder = jnp.where(t >= 0, t % dt, (t % dt + dt) % dt)
+    max_amp_adc = gain * params.current_max[remainder] * const.current_2_adc
+    above = valid & (max_amp_adc > params.trigger_thresholds[chc])
+    is_dpe = ph['is_dpe'] & valid
+
+    v1 = valid.astype(jnp.float32)
+    pe_w = v1 + is_dpe.astype(jnp.float32)       # photons + dpe
+    trig = above.astype(jnp.float32)
+    pe_trig = trig + (above & is_dpe).astype(jnp.float32)
+    gain_over_g = jnp.where(valid, gain / jnp.maximum(params.gains[chc], 1e-30), 0.0)
+    area_trig = jnp.where(above, gain_over_g, 0.0)
+
+    def acc(x):
+        return jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+            jnp.where(valid, x, 0.0))
+
+    out = {
+        'n_photon': acc(v1),
+        'n_pe': acc(pe_w),
+        'n_photon_trigger': acc(trig),
+        'n_pe_trigger': acc(pe_trig),
+        'raw_area': acc(gain_over_g),
+        'raw_area_trigger': acc(area_trig),
+    }
+    if const.per_pmt_truth:
+        nc = params.gains.shape[0]
+        def acc2(x):
+            z = jnp.zeros((n_truth_rows, nc), jnp.float32)
+            return z.at[row, chc].add(jnp.where(valid, x, 0.0))
+        for name, x in [('n_photon', v1), ('n_pe', pe_w),
+                        ('n_photon_trigger', trig), ('n_pe_trigger', pe_trig),
+                        ('raw_area', gain_over_g), ('raw_area_trigger', area_trig)]:
+            out[name + '_per_pmt'] = acc2(x)
+    else:
+        bot = params.bottom_mask[chc] & valid
+        def accb(x):
+            return jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+                jnp.where(bot, x, 0.0))
+        for name, x in [('n_photon', v1), ('n_pe', pe_w),
+                        ('n_photon_trigger', trig), ('n_pe_trigger', pe_trig),
+                        ('raw_area', gain_over_g), ('raw_area_trigger', area_trig)]:
+            out[name + '_bottom'] = accb(x)
+    return out
+
+
+def photon_time_stats(t, valid, truth_row, n_truth_rows: int):
+    """Per-row timing statistics (count, min, max, mean, std) used by the
+    truth output (reference: wfsim/core/rawdata.py:325-332).
+
+    Times are int32 window-relative; sums are centered on the per-row minimum
+    to keep f32 accumulation exact enough for sub-ns moments.
+    """
+    BIG = jnp.int32(2 ** 30)
+    row = jnp.where(valid, truth_row, 0)
+    cnt = jnp.zeros(n_truth_rows, jnp.int32).at[row].add(valid.astype(jnp.int32))
+    tmin = jnp.full(n_truth_rows, BIG, jnp.int32).at[row].min(
+        jnp.where(valid, t, BIG))
+    tmax = jnp.full(n_truth_rows, -BIG, jnp.int32).at[row].max(
+        jnp.where(valid, t, -BIG))
+    centered = (t - tmin[row]).astype(jnp.float32)
+    s1_ = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+        jnp.where(valid, centered, 0.0))
+    s2_ = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+        jnp.where(valid, centered * centered, 0.0))
+    cntf = jnp.maximum(cnt.astype(jnp.float32), 1.0)
+    mean_c = s1_ / cntf
+    var = jnp.maximum(s2_ / cntf - mean_c * mean_c, 0.0)
+    return dict(count=cnt, t_min=tmin, t_max=tmax,
+                t_mean_offset=mean_c, t_sigma=jnp.sqrt(var))

@@ -53,7 +53,8 @@ def categorical_from_cdf(cdf_rows: jnp.ndarray,
     target = u * total
     lo = jnp.zeros(row_idx.shape, dtype=jnp.int32)
     hi = jnp.full(row_idx.shape, n_cat - 1, dtype=jnp.int32)
-    n_rounds = int(jnp.ceil(jnp.log2(n_cat))) + 1
+    import math
+    n_rounds = int(math.ceil(math.log2(max(n_cat, 2)))) + 1
     # Find smallest index i with cdf[i] > target
     for _ in range(n_rounds):
         mid = (lo + hi) // 2

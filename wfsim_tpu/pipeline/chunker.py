@@ -1,0 +1,153 @@
+"""Chunked record emission.
+
+Behavioural equivalent of the reference ``ChunkRawRecords``
+(reference: wfsim/strax_interface.py:353-504): consume (channel, left, right,
+data) pulses from the raw-data generator, pack them into fixed-length
+raw_record rows, cut chunks at time boundaries with event-aware extension,
+and drain the truth buffer per chunk.
+"""
+from __future__ import annotations
+
+import logging
+import typing as ty
+
+import numpy as np
+
+from ..config import finalize_config
+from ..dtypes import (raw_record_dtype, instruction_dtype,
+                      extra_truth_dtype_per_pmt, sort_by_time,
+                      DEFAULT_RECORD_LENGTH)
+from .rawdata import RawDataTPU
+
+log = logging.getLogger('wfsim_tpu.interface')
+
+__all__ = ['ChunkRawRecords']
+
+
+class ChunkRawRecords:
+    def __init__(self, config, rawdata_generator=RawDataTPU, **kwargs):
+        self.config = finalize_config(dict(config))
+        self.rawdata = rawdata_generator(self.config, **kwargs)
+        self.record_buffer = np.zeros(
+            5_000_000, dtype=raw_record_dtype(DEFAULT_RECORD_LENGTH))
+        truth_per_n_pmts = (self._n_channels if self.config.get('per_pmt_truth')
+                            else False)
+        self.truth_dtype = extra_truth_dtype_per_pmt(truth_per_n_pmts)
+        extra = list(self.config.get('_truth_extra_instruction_dtype', []))
+        self.truth_buffer = np.zeros(
+            10000, dtype=instruction_dtype + extra + self.truth_dtype
+            + [('fill', bool)])
+        self.blevel = 0
+
+    @property
+    def _n_channels(self):
+        return len(self.config['gains'])
+
+    def __call__(self, instructions, time_zero=None, **kwargs):
+        samples_per_record = DEFAULT_RECORD_LENGTH
+        if len(instructions) == 0:
+            self.rawdata.source_finished = True
+            return
+        dt = self.config['sample_duration']
+        buffer_length = len(self.record_buffer)
+        rext = int(self.config['right_raw_extension'])
+        cksz = int(self.config['chunk_size'] * 1e9)
+
+        self.blevel = 0
+        self.chunk_time_pre = (time_zero - rext if time_zero
+                               else np.min(instructions['time']) - rext)
+        self.chunk_time = self.chunk_time_pre + cksz
+        self.current_digitized_right = self.last_digitized_right = 0
+
+        for channel, left, right, data in self.rawdata(
+                instructions=instructions, truth_buffer=self.truth_buffer,
+                **kwargs):
+            pulse_length = right - left + 1
+            records_needed = int(np.ceil(pulse_length / samples_per_record))
+
+            if self.rawdata.right != self.current_digitized_right:
+                self.last_digitized_right = self.current_digitized_right
+                self.current_digitized_right = self.rawdata.right
+
+            if self.rawdata.left * dt > self.chunk_time + rext:
+                # Pause the stream at a chunk boundary; extend the boundary if
+                # it fell inside a digitized event
+                # (reference: strax_interface.py:398-418)
+                if (self.last_digitized_right + 1) * dt > self.chunk_time:
+                    self.chunk_time = (self.last_digitized_right + 1) * dt
+                yield from self.final_results()
+                self.chunk_time_pre = self.chunk_time
+                self.chunk_time += cksz
+
+            if self.blevel + records_needed > buffer_length:
+                log.warning('Chunk size too large, insufficient record buffer; '
+                            'flushing early')
+                self.chunk_time = (self.last_digitized_right + 1) * dt
+                yield from self.final_results()
+                self.chunk_time_pre = self.chunk_time
+                self.chunk_time += cksz
+
+            if self.blevel + records_needed > buffer_length:
+                log.warning('Pulse length too large, skipping pulse')
+                continue
+
+            s = slice(self.blevel, self.blevel + records_needed)
+            self.record_buffer[s]['channel'] = channel
+            self.record_buffer[s]['dt'] = dt
+            self.record_buffer[s]['time'] = dt * (
+                left + samples_per_record * np.arange(records_needed))
+            self.record_buffer[s]['length'] = [
+                min(pulse_length, samples_per_record * (i + 1))
+                - samples_per_record * i for i in range(records_needed)]
+            self.record_buffer[s]['pulse_length'] = pulse_length
+            self.record_buffer[s]['record_i'] = np.arange(records_needed)
+            self.record_buffer[s]['data'] = np.pad(
+                data, (0, records_needed * samples_per_record - pulse_length),
+                'constant').reshape((-1, samples_per_record))
+            self.blevel += records_needed
+
+        self.last_digitized_right = self.current_digitized_right
+        self.chunk_time = max((self.last_digitized_right + 1) * dt,
+                              self.chunk_time_pre + dt)
+        yield from self.final_results()
+
+    def final_results(self):
+        records = self.record_buffer[:self.blevel]
+        maska = records['time'] <= self.chunk_time
+        records = records[maska]
+        records = sort_by_time(records)
+
+        maskb = (
+            self.truth_buffer['fill']
+            & ((self.truth_buffer['t_first_photon'] <= self.chunk_time)
+               | (np.isnan(self.truth_buffer['t_first_photon'])
+                  & (self.truth_buffer['time'] <= self.chunk_time))))
+        truth = self.truth_buffer[maskb]          # a copy
+        self.truth_buffer['fill'][maskb] = False
+
+        truth.sort(order='time')
+        _truth = np.zeros(len(truth), dtype=instruction_dtype + self.truth_dtype)
+        for name in _truth.dtype.names:
+            _truth[name] = truth[name]
+        has_t = ~np.isnan(_truth['t_first_photon'])
+        _truth['time'][has_t] = _truth['t_first_photon'][has_t].astype(int)
+        _truth.sort(order='time')
+
+        if self.config['detector'] in ('XENON1T', 'XENONnT_neutron_veto'):
+            yield dict(raw_records=records, truth=_truth)
+        elif self.config['detector'] == 'XENONnT':
+            he_lo = self.config['channel_map']['he'][0]
+            he_hi = self.config['channel_map']['he'][-1]
+            yield dict(
+                raw_records=records[records['channel'] < he_lo],
+                raw_records_he=records[(records['channel'] >= he_lo)
+                                       & (records['channel'] <= he_hi)],
+                raw_records_aqmon=records[records['channel'] == 800],
+                truth=_truth)
+
+        self.record_buffer[:np.sum(~maska)] = \
+            self.record_buffer[:self.blevel][~maska]
+        self.blevel = int(np.sum(~maska))
+
+    def source_finished(self):
+        return self.rawdata.source_finished

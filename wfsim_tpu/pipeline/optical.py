@@ -1,0 +1,97 @@
+"""Optical-input raw data: photons come from a GEANT4 photon list instead of
+S1 physics (reference: wfsim/core/rawdata.py:461-496 ``RawDataOptical``).
+
+Type-1 instructions carry ``_first``/``_last`` indices into the provided
+(channels, timings) photon arrays; the PMT response, afterpulses,
+digitization and ZLE are identical to the standard chain.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.pmt import pmt_response, photon_time_stats
+from .rawdata import RawDataTPU, _bucket
+
+__all__ = ['RawDataOpticalTPU']
+
+
+def _optical_response(params, const, t, ch, valid, truth_row, key,
+                      *, n_truth_rows):
+    photons, truth = pmt_response(params, const, t, ch, valid, truth_row, key,
+                                  n_truth_rows=n_truth_rows)
+    stats = photon_time_stats(photons['t'], photons['valid'],
+                              photons['truth_row'], n_truth_rows)
+    truth.update({'photon_' + k: v for k, v in stats.items()})
+    truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32)
+    return photons, truth
+
+
+_optical_jit = jax.jit(_optical_response,
+                       static_argnames=('const', 'n_truth_rows'))
+
+
+class RawDataOpticalTPU(RawDataTPU):
+
+    def __init__(self, config, channels=tuple(), timings=tuple(), **kwargs):
+        super().__init__(config, **kwargs)
+        self.channels = np.asarray(channels, dtype=np.int32)
+        self.timings = np.asarray(timings, dtype=np.int64)
+
+    def _simulate_type_batch(self, instructions, idx, kind, truth_sink,
+                             gen_sink=None):
+        if kind != 's1':
+            return super()._simulate_type_batch(instructions, idx, kind,
+                                                truth_sink, gen_sink)
+        # Optical primary: photon list from file (reference rawdata.py:475-493)
+        sel = instructions[idx]
+        base_time = int(np.min(sel['time']))
+        cutoff = int(self.config.get('nveto_time_max_cutoff', int(1e6)))
+
+        t_list, ch_list, row_list = [], [], []
+        for r, ins in enumerate(sel):
+            lo, hi = int(ins['_first']), int(ins['_last'])
+            tt = self.timings[lo:hi]
+            cc = self.channels[lo:hi]
+            ok = (tt >= 0) & (tt < cutoff)
+            t_list.append(tt[ok] + (int(ins['time']) - base_time))
+            ch_list.append(cc[ok])
+            row_list.append(np.full(ok.sum(), r, np.int32))
+        t = np.concatenate(t_list) if t_list else np.zeros(0, np.int64)
+        ch = np.concatenate(ch_list) if ch_list else np.zeros(0, np.int32)
+        row = np.concatenate(row_list) if row_list else np.zeros(0, np.int32)
+
+        n = len(t)
+        cap = _bucket(max(n, 1))
+        n_rows_cap = _bucket(len(sel), lo=8, hi=2 ** 16)
+        tt = np.zeros(cap, np.int32)
+        tt[:n] = t.astype(np.int32)
+        cc = np.zeros(cap, np.int32)
+        cc[:n] = ch
+        rr = np.zeros(cap, np.int32)
+        rr[:n] = row
+        vv = np.zeros(cap, bool)
+        vv[:n] = True
+
+        photons, truth = _optical_jit(
+            self.params, self.const, jnp.asarray(tt), jnp.asarray(cc),
+            jnp.asarray(vv), jnp.asarray(rr), self._next_key(),
+            n_truth_rows=n_rows_cap)
+
+        ap_photons = None
+        if self.const.enable_pmt_afterpulses and \
+                self.params.pmt_ap_delay_cdf is not None:
+            from ..models.afterpulse import pmt_afterpulse_photons
+            ap_cap = _bucket(max(cap // 16, 256))
+            ap_photons, ap_total = pmt_afterpulse_photons(
+                self.params, self.const, photons, self._next_key(),
+                ap_capacity=ap_cap)
+            if int(ap_total) > ap_cap:
+                ap_photons, ap_total = pmt_afterpulse_photons(
+                    self.params, self.const, photons, self._next_key(),
+                    ap_capacity=_bucket(int(ap_total)))
+
+        row_members = [[i] for i in range(len(sel))]
+        self._pool_append(photons, ap_photons, idx, instructions, base_time,
+                          truth, row_members, n_rows_cap, 's1', truth_sink)

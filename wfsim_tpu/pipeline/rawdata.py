@@ -1,0 +1,514 @@
+"""Host-side orchestration: instructions -> photon pool -> digitized pulses.
+
+TPU-native restructuring of the reference event loop
+(reference: wfsim/core/rawdata.py:38-157).  The reference interleaves
+simulation and digitization cluster by cluster in one sequential generator;
+here the dataflow is phase-parallel:
+
+ A) cluster instructions by *signal arrival time* (S2-types shifted by
+    z / v_drift; same odd/even type convention, rawdata.py:58-63);
+ B) simulate ALL primary instructions in large padded device batches
+    (S1 chain, S2 chain), including PMT afterpulses;
+ C) generate electron-afterpulse instructions (pi_el / pe_el) from the
+    primaries' photon statistics and simulate them the same way — this is the
+    feedback edge of the reference (rawdata.py:133-140), unrolled: the
+    reference's secondary generation terminates after one step because only
+    type-2 (s2) pulses spawn electron afterpulses (rawdata.py:193-201);
+ D) group pulse extents into digitization windows (flush-on-gap rule,
+    rawdata.py:96-98) and run the fused digitize+ZLE kernel per window;
+ E) yield (channel, left, right, data) pulses exactly like the reference
+    generator, so the chunker is interchangeable.
+
+Absolute times are int64 on the host; the device only ever sees int32 offsets
+from per-batch/per-window bases.
+"""
+from __future__ import annotations
+
+import logging
+import typing as ty
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import finalize_config
+from ..dtypes import PULSE_TYPE_NAMES
+from ..resources.loader import load_config
+from ..models.params import build_params, build_constants
+from ..models.s1 import simulate_s1
+from ..models.s2 import simulate_s2
+from ..models.afterpulse import (
+    pmt_afterpulse_photons, photon_summaries,
+    generate_pi_el_instructions, generate_pe_el_instructions)
+from .digitize import digitize_window
+
+log = logging.getLogger('wfsim_tpu.core')
+
+__all__ = ['RawDataTPU']
+
+
+def _bucket(n, lo=256, hi=2 ** 22):
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+_sim_s1_jit = jax.jit(simulate_s1, static_argnames=('const', 'capacity',
+                                                    'n_truth_rows'))
+_sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
+                                                    'capacity', 'n_truth_rows'))
+
+
+class _Pulse(ty.NamedTuple):
+    """Host record of one simulated instruction-group's photons."""
+    inst_idx: np.ndarray      # indices into the instruction array
+    pool_start: int
+    pool_count: int
+    t_min: int                # abs ns (first photon)
+    t_max: int                # abs ns (last photon)
+    truth_key: int
+
+
+class RawDataTPU:
+    """Drop-in behavioural equivalent of the reference ``RawData``."""
+
+    def __init__(self, config, **kwargs):
+        self.config = finalize_config(dict(config))
+        self.resource = load_config(self.config)
+        # build_params records AP-table metadata into config before
+        # build_constants snapshots it
+        self.params = build_params(self.config, self.resource)
+        self.const = build_constants(self.config)
+        seed = self.config.get('seed') or 0
+        self.rng = np.random.default_rng(seed if seed else None)
+        self.key = jax.random.key(seed if seed else np.random.randint(2 ** 31))
+        self._key_ctr = 0
+        self.source_finished = False
+        self.last_pulse_end_time = -np.inf
+        self._validate_model_types()
+
+    # -- utilities ---------------------------------------------------------
+
+    def _next_key(self):
+        self._key_ctr += 1
+        return jax.random.fold_in(self.key, self._key_ctr)
+
+    def _validate_model_types(self):
+        valid = {'', 'simple', 'custom', 'optical_propagation', 'nest'}
+        s = str(self.config['s1_model_type'])
+        for part0 in s.split('+'):
+            for part1 in part0.split(' '):
+                for part in part1.split(','):
+                    assert part in valid, \
+                        f'Model type "{part}" not in {sorted(valid)}'
+
+    @staticmethod
+    def symtype(ptype):
+        return PULSE_TYPE_NAMES[ptype]
+
+    def _arrival_times(self, instructions):
+        v = self.config['drift_velocity_liquid']
+        return (instructions['time']
+                + (instructions['z'] / v
+                   * (instructions['type'] % 2 - 1)).astype(np.int64))
+
+    # -- simulation --------------------------------------------------------
+
+    def _make_inst_batch(self, instructions, idx, base_time, truth_rows, n_rows):
+        """Pad a host instruction selection into a device batch dict."""
+        icap = _bucket(max(len(idx), 1), lo=8, hi=2 ** 16)
+        sel = instructions[idx]
+        out = {}
+        def pad(x, dtype, fill=0):
+            a = np.full(icap, fill, dtype=dtype)
+            a[:len(idx)] = x
+            return jnp.asarray(a)
+        out['time'] = pad((sel['time'] - base_time).astype(np.int64), np.int32)
+        out['x'] = pad(sel['x'], np.float32)
+        out['y'] = pad(sel['y'], np.float32)
+        out['z'] = pad(sel['z'], np.float32)
+        out['amp'] = pad(sel['amp'], np.int32)
+        out['recoil'] = pad(sel['recoil'], np.int32)
+        out['valid'] = pad(np.ones(len(idx), bool), bool, False)
+        out['truth_row'] = pad(truth_rows, np.int32)
+        return out, icap
+
+    def _simulate_type_batch(self, instructions, idx, kind, truth_sink,
+                             gen_sink=None):
+        """Simulate one padded batch of same-chain instructions; append
+        photons to the host pool and truth summaries to the sink."""
+        if len(idx) == 0:
+            return
+        base_time = int(np.min(instructions['time'][idx]))
+        # truth rows: one per instruction for s1/s2; one shared row per batch
+        # for afterpulse types (reference groups them, rawdata.py:124-125)
+        if kind in ('s1', 's2'):
+            truth_rows = np.arange(len(idx), dtype=np.int32)
+            n_rows = len(idx)
+            row_members = [[i] for i in range(len(idx))]
+        else:
+            truth_rows = np.zeros(len(idx), dtype=np.int32)
+            n_rows = 1
+            row_members = [list(range(len(idx)))]
+        n_rows_cap = _bucket(n_rows, lo=8, hi=2 ** 16)
+
+        inst, icap = self._make_inst_batch(instructions, idx, base_time,
+                                           truth_rows, n_rows_cap)
+
+        # photon capacity estimation with retry-on-overflow
+        amps = instructions['amp'][idx].astype(np.float64)
+        if kind == 's1':
+            est = int(amps.sum()) + 64
+        else:
+            sc = (self.config['s2_secondary_sc_gain']
+                  / (1 + self.config['p_double_pe_emision']))
+            est = int(amps.sum() * max(sc, 1.0) * 1.4) + 256
+        cap = _bucket(est)
+        key = self._next_key()
+        for _attempt in range(6):
+            if kind == 's1':
+                photons, truth, total = _sim_s1_jit(
+                    self.params, self.const, inst, key,
+                    capacity=cap, n_truth_rows=n_rows_cap)
+                totals = {'photons': total}
+            else:
+                ecap = _bucket(int(amps.sum()) + 64, lo=256)
+                photons, truth, totals = _sim_s2_jit(
+                    self.params, self.const, inst, key,
+                    e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
+            need = int(totals['photons'])
+            if need <= cap and int(totals.get('electrons', 0)) <= (
+                    ecap if kind != 's1' else 2 ** 62):
+                break
+            cap = _bucket(max(need, cap * 2))
+        else:
+            raise RuntimeError('photon capacity runaway')
+
+        # PMT afterpulses ride along with their primary
+        # (reference: rawdata.py:176-178)
+        ap_photons = None
+        if self.const.enable_pmt_afterpulses and \
+                self.params.pmt_ap_delay_cdf is not None:
+            ap_cap = _bucket(max(cap // 16, 256))
+            ap_photons, ap_total = pmt_afterpulse_photons(
+                self.params, self.const, photons, self._next_key(),
+                ap_capacity=ap_cap)
+            if int(ap_total) > ap_cap:
+                ap_photons, ap_total = pmt_afterpulse_photons(
+                    self.params, self.const, photons, self._next_key(),
+                    ap_capacity=_bucket(int(ap_total)))
+
+        # electron-afterpulse feedback: only true S2 pulses spawn them
+        # (reference: rawdata.py:193-201)
+        if gen_sink is not None and kind == 's2' and (
+                self.const.enable_electron_afterpulses
+                or self.const.enable_gate_afterpulses):
+            counts_d, tz_d = photon_summaries(
+                photons, self._next_key(), n_inst=n_rows_cap)
+            counts_h = np.asarray(counts_d)[:len(idx)]
+            tz_h = np.asarray(tz_d)[:len(idx)]
+            src = instructions[idx]
+            if self.const.enable_electron_afterpulses and \
+                    getattr(self.resource, 'uniform_to_ele_ap', None) is not None:
+                gen_sink.append(generate_pi_el_instructions(
+                    self.config, self.resource, self.rng, counts_h, tz_h,
+                    src, base_time))
+            if self.const.enable_gate_afterpulses:
+                gen_sink.append(generate_pe_el_instructions(
+                    self.config, self.rng, counts_h, tz_h, src, base_time))
+
+        # ---- host pool append ----
+        self._pool_append(photons, ap_photons, idx, instructions, base_time,
+                          truth, row_members, n_rows_cap, kind, truth_sink)
+
+    def _pool_append(self, photons, ap_photons, idx, instructions, base_time,
+                     truth, row_members, n_rows_cap, kind, truth_sink):
+        pool = self._pool
+        t = np.asarray(photons['t'])
+        ch = np.asarray(photons['ch'])
+        gain = np.asarray(photons['gain'])
+        valid = np.asarray(photons['valid'])
+        row = np.asarray(photons['truth_row'])
+        truth_h = {k: np.asarray(v) for k, v in truth.items()}
+
+        buffers = [(t, ch, gain, valid, row)]
+        if ap_photons is not None:
+            buffers.append(tuple(np.asarray(ap_photons[k])
+                                 for k in ('t', 'ch', 'gain', 'valid',
+                                           'truth_row')))
+
+        for r, members in enumerate(row_members):
+            sel_t, sel_ch, sel_g = [], [], []
+            for (bt, bch, bg, bv, brow) in buffers:
+                m = bv & (brow == r)
+                sel_t.append(bt[m])
+                sel_ch.append(bch[m])
+                sel_g.append(bg[m])
+            tt = np.concatenate(sel_t)
+            cc = np.concatenate(sel_ch)
+            gg = np.concatenate(sel_g)
+            n = len(tt)
+            n_primary = int(truth_h['photon_count'][r])
+
+            start = self._pool_size
+            pool['t'].append(tt.astype(np.int64) + base_time)
+            pool['ch'].append(cc)
+            pool['gain'].append(gg)
+            self._pool_size += n
+
+            # truth summary for this row
+            trow = self._assemble_truth_row(
+                kind, truth_h, r, base_time, instructions[idx][members],
+                n_primary)
+            if trow is not None:
+                truth_sink.append(trow)
+
+            if n > 0:
+                t_abs = tt.astype(np.int64) + base_time
+                self._pulses.append(_Pulse(
+                    inst_idx=np.asarray(idx)[members],
+                    pool_start=start, pool_count=n,
+                    t_min=int(t_abs.min()), t_max=int(t_abs.max()),
+                    truth_key=len(truth_sink) - 1))
+
+    def _assemble_truth_row(self, kind, truth_h, r, base_time, insts, n_primary):
+        """Build one truth dict (reference: rawdata.py:313-375)."""
+        if n_primary == 0 and kind not in ('s1', 's2'):
+            # zero-photon afterpulses don't get truth rows (rawdata.py:334-337)
+            return None
+        dt = self.const.sample_duration
+        row = {}
+        row['type'] = {'s1': 1, 's2': 2, 'pi_el': 4, 'pe_el': 6}[kind]
+        if truth_h['photon_count'][r] > 0:
+            tmin = float(truth_h['photon_t_min'][r]) + base_time
+            tmax = float(truth_h['photon_t_max'][r]) + base_time
+            row.update(
+                t_first_photon=tmin,
+                t_last_photon=tmax,
+                t_mean_photon=float(truth_h['photon_t_min'][r]
+                                    + truth_h['photon_t_mean_offset'][r]) + base_time,
+                t_sigma_photon=float(truth_h['photon_t_sigma'][r]))
+            row['endtime'] = int(tmax) + (
+                self.const.samples_before_pulse_center
+                + self.const.samples_after_pulse_center + 1) * dt
+        else:
+            row.update(t_first_photon=np.nan, t_last_photon=np.nan,
+                       t_mean_photon=np.nan, t_sigma_photon=np.nan)
+            row['endtime'] = int(insts['time'][0])
+        if 'electron_count' in truth_h and truth_h['electron_count'][r] > 0:
+            row.update(
+                n_electron=int(truth_h['n_electron'][r]),
+                t_first_electron=float(truth_h['electron_t_min'][r]) + base_time,
+                t_last_electron=float(truth_h['electron_t_max'][r]) + base_time,
+                t_mean_electron=float(truth_h['electron_t_min'][r]
+                                      + truth_h['electron_t_mean_offset'][r])
+                                + base_time,
+                t_sigma_electron=float(truth_h['electron_t_sigma'][r]))
+        else:
+            row.update(n_electron=0, t_first_electron=np.nan,
+                       t_last_electron=np.nan, t_mean_electron=np.nan,
+                       t_sigma_electron=np.nan)
+
+        row['n_photon'] = int(truth_h['photon_count'][r])
+        for f in ('n_pe', 'n_photon_trigger', 'n_pe_trigger',
+                  'raw_area', 'raw_area_trigger'):
+            row[f] = float(truth_h[f][r])
+        if self.const.per_pmt_truth:
+            for f in ('n_photon', 'n_pe', 'n_photon_trigger', 'n_pe_trigger',
+                      'raw_area', 'raw_area_trigger'):
+                row[f + '_per_pmt'] = truth_h[f + '_per_pmt'][r]
+            row['n_photon'] = int(truth_h['n_photon'][r])
+        else:
+            for f in ('n_photon', 'n_pe', 'n_photon_trigger', 'n_pe_trigger',
+                      'raw_area', 'raw_area_trigger'):
+                row[f + '_bottom'] = float(truth_h[f + '_bottom'][r])
+
+        # instruction summary (reference: rawdata.py:363-372)
+        for field in insts.dtype.names:
+            v = insts[field]
+            if len(insts) > 1 and field in 'xyz':
+                row[field] = float(np.mean(v))
+            elif len(insts) > 1 and field == 'amp':
+                row[field] = int(np.sum(v))
+            else:
+                row[field] = v[0]
+        row['x_mean_electron'] = np.nan
+        row['y_mean_electron'] = np.nan
+        return row
+
+    # -- main generator -------------------------------------------------------
+
+    def __call__(self, instructions, truth_buffer=None, progress_bar=False,
+                 **kwargs):
+        if truth_buffer is None:
+            truth_buffer = []
+        rext = int(self.config['right_raw_extension'])
+        dt = self.const.sample_duration
+
+        self.source_finished = False
+        self._pool = dict(t=[], ch=[], gain=[])
+        self._pool_size = 0
+        self._pulses: ty.List[_Pulse] = []
+        truth_rows: ty.List[dict] = []
+
+        instructions = np.asarray(instructions)
+        arrival = self._arrival_times(instructions)
+        order = np.argsort(arrival, kind='stable')
+
+        # --- simulate primaries in arrival-ordered batches per chain ---
+        gen_sink: ty.List[np.ndarray] = []
+        self._run_generation(instructions, order, truth_rows, gen_sink)
+
+        # --- electron-afterpulse generation (one feedback step) ---
+        if gen_sink:
+            secondaries = np.concatenate([g for g in gen_sink if len(g)])
+            if len(secondaries):
+                arr2 = self._arrival_times(secondaries)
+                order2 = np.argsort(arr2, kind='stable')
+                self._run_generation(secondaries, order2, truth_rows, None)
+
+        # --- truth out ---
+        self._drain_truth(truth_buffer, truth_rows)
+
+        # --- digitization windows (flush-on-gap, reference rawdata.py:96-98) ---
+        yield from self._digitize_all(rext, dt)
+        self.source_finished = True
+
+    def _run_generation(self, instructions, order, truth_rows, gen_sink):
+        """Batch same-chain instructions in arrival order and simulate."""
+        MAX_BATCH_INST = 512
+        MAX_BATCH_AMP = {'s1': 3_000_000, 's2': 200_000}
+        MAX_SPAN_NS = int(5e8)   # keep int32 offsets comfortable
+
+        types = instructions['type']
+        kind_of = {1: 's1', 2: 's2', 4: 'pi_el', 6: 'pe_el'}
+        batches: ty.Dict[str, list] = {'s1': [], 's2': [], 'pi_el': [], 'pe_el': []}
+        for i in order:
+            k = kind_of.get(int(types[i]))
+            if k is None:
+                continue
+            batches[k].append(i)
+
+        for kind, idxs in batches.items():
+            if not idxs:
+                continue
+            idxs = np.asarray(idxs)
+            t0 = instructions['time'][idxs].astype(np.int64)
+            amps = instructions['amp'][idxs].astype(np.float64)
+            limit = MAX_BATCH_AMP['s1' if kind == 's1' else 's2']
+            cur, cur_amp, cur_t0 = [], 0.0, None
+            for j, i in enumerate(idxs):
+                if cur and (len(cur) >= MAX_BATCH_INST
+                            or cur_amp + amps[j] > limit
+                            or t0[j] - cur_t0 > MAX_SPAN_NS):
+                    self._simulate_type_batch(instructions, np.asarray(cur),
+                                              kind, truth_rows, gen_sink)
+                    cur, cur_amp, cur_t0 = [], 0.0, None
+                if cur_t0 is None:
+                    cur_t0 = t0[j]
+                cur.append(i)
+                cur_amp += amps[j]
+            if cur:
+                self._simulate_type_batch(instructions, np.asarray(cur), kind,
+                                          truth_rows, gen_sink)
+
+    def _drain_truth(self, truth_buffer, truth_rows):
+        if isinstance(truth_buffer, list):
+            truth_buffer.extend(truth_rows)
+            return
+        for row in truth_rows:
+            ix = np.argmin(truth_buffer['fill'])
+            for k, v in row.items():
+                if k in truth_buffer.dtype.names:
+                    truth_buffer[ix][k] = v
+            truth_buffer[ix]['fill'] = True
+
+    def _digitize_all(self, rext, dt):
+        """Group pulses into windows, digitize, and yield ZLE intervals."""
+        if not self._pulses:
+            return
+        margin_l = (self.const.samples_to_store_before
+                    + self.const.samples_before_pulse_center
+                    + self.const.trigger_window)
+        margin_r = (self.const.samples_to_store_after
+                    + self.const.samples_after_pulse_center
+                    + self.const.trigger_window)
+
+        pulses = sorted(self._pulses, key=lambda p: p.t_min)
+        pool_t = np.concatenate(self._pool['t']) if self._pool['t'] else np.zeros(0, np.int64)
+        pool_ch = np.concatenate(self._pool['ch']) if self._pool['ch'] else np.zeros(0, np.int32)
+        pool_g = np.concatenate(self._pool['gain']) if self._pool['gain'] else np.zeros(0, np.float32)
+
+        groups: ty.List[ty.List[_Pulse]] = []
+        cur = [pulses[0]]
+        cur_end = pulses[0].t_max + margin_r * dt
+        for p in pulses[1:]:
+            if p.t_min - cur_end > rext:
+                groups.append(cur)
+                cur = [p]
+            else:
+                cur.append(p)
+            cur_end = max(cur_end, p.t_max + margin_r * dt)
+        groups.append(cur)
+
+        for grp in groups:
+            t_min = min(p.t_min for p in grp)
+            t_max = max(p.t_max for p in grp)
+            win_left = t_min // dt - margin_l
+            if win_left % 2 != 0:
+                win_left -= 1       # digitizer quirk (reference rawdata.py:221)
+            win_right = t_max // dt + margin_r
+            T = int(win_right - win_left + 1)
+            assert T < 1_000_000, 'Pulse cache too long'
+            T_cap = _bucket(T, lo=512, hi=2 ** 20)
+
+            sel = np.concatenate([
+                np.arange(p.pool_start, p.pool_start + p.pool_count)
+                for p in grp])
+            n = len(sel)
+            n_cap = _bucket(n, lo=256)
+            base_ns = int(win_left) * dt
+            tt = np.zeros(n_cap, np.int32)
+            tt[:n] = (pool_t[sel] - base_ns).astype(np.int32)
+            cc = np.zeros(n_cap, np.int32)
+            cc[:n] = pool_ch[sel]
+            gg = np.zeros(n_cap, np.float32)
+            gg[:n] = pool_g[sel]
+            vv = np.zeros(n_cap, bool)
+            vv[:n] = True
+
+            noise_high = 1
+            if self.const.enable_noise and self.params.noise_data is not None:
+                L = int(self.params.noise_data.shape[0])
+                noise_high = max(L - T - 1, 1)
+            noise_ix = int(self.rng.integers(0, noise_high)) if noise_high > 1 else 0
+
+            max_itv = 128
+            res = digitize_window(
+                self.params, self.const,
+                jnp.asarray(tt), jnp.asarray(cc), jnp.asarray(gg),
+                jnp.asarray(vv), self._next_key(), jnp.int32(noise_ix),
+                n_samples=T_cap, max_intervals=max_itv)
+
+            data = np.asarray(res['data'])
+            mask = np.asarray(res['ch_mask'])
+            ch_left = np.asarray(res['ch_left'])
+            counts = np.asarray(res['zle_counts'])
+            starts = np.asarray(res['zle_starts'])
+            ends = np.asarray(res['zle_ends'])
+
+            # expose window bounds for the chunker (reference keeps
+            # self.left/self.right on RawData, rawdata.py:215-216)
+            self.left = int(win_left)
+            self.right = int(win_right)
+            self.last_pulse_end_time = int(win_right) * dt
+
+            for c in np.nonzero(mask & (counts > 0))[0]:
+                cl = int(ch_left[c])
+                for k in range(int(counts[c])):
+                    s_, e_ = int(starts[c, k]), int(ends[c, k])
+                    yield (int(c),
+                           int(win_left) + cl + s_,
+                           int(win_left) + cl + e_,
+                           data[c, cl + s_: cl + e_ + 1])
