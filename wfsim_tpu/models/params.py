@@ -76,6 +76,10 @@ class SimParams:
     garfield_x: ty.Optional[jnp.ndarray]      # (rows,) wire-distance axis
     gg_gas_gap: ty.Optional[jnp.ndarray]      # (G,) gas gap axis
     gg_inv_cdf: ty.Optional[jnp.ndarray]      # (G, M) inverse CDFs
+    # NEST timing tables (see resources/nest_tables.py)
+    nest_inv_cdf: ty.Optional[jnp.ndarray]       # (4, F, E, M) f32
+    nest_fields: ty.Optional[jnp.ndarray]        # (F,)
+    nest_energies: ty.Optional[jnp.ndarray]      # (E,)
     # Afterpulses
     pmt_ap_delay_cdf: ty.Optional[jnp.ndarray]   # (E, C, Td) f32
     pmt_ap_amp_cdf: ty.Optional[jnp.ndarray]     # (E, C, Ta) f32
@@ -424,6 +428,14 @@ def build_params(config, resource: Resource) -> SimParams:
     if getattr(resource, 'noise_data', None) is not None:
         noise = jnp.asarray(np.asarray(resource.noise_data, dtype=np.int32))
 
+    nest_table = nest_fields = nest_energies = None
+    if 'nest' in str(config.get('s1_model_type', '')):
+        from ..resources.nest_tables import build_nest_timing_tables
+        tbl, flds, engs = build_nest_timing_tables(config)
+        nest_table = jnp.asarray(tbl)
+        nest_fields = jnp.asarray(flds)
+        nest_energies = jnp.asarray(engs)
+
     def g(m, ndim=2):
         return _as_gridmap(m, ndim_in=ndim)
 
@@ -456,6 +468,9 @@ def build_params(config, resource: Resource) -> SimParams:
         s2_prop_top=_prop_spline(resource, 's2_optical_propagation_spline', 'top'),
         s2_prop_bottom=_prop_spline(resource, 's2_optical_propagation_spline', 'bottom'),
         lum_r_dt=None,
+        nest_inv_cdf=nest_table,
+        nest_fields=nest_fields,
+        nest_energies=nest_energies,
         garfield_t=garfield_t,
         garfield_x=garfield_x,
         gg_gas_gap=gg_gas_gap,

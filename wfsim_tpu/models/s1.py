@@ -90,6 +90,39 @@ def _custom_recoil_delays(const, key, recoil_cls, n):
     return out
 
 
+def _grid_pos(axis, x):
+    """Fractional position of x on a 1-d grid: (i0, i1, w)."""
+    n = axis.shape[0]
+    i1 = jnp.clip(jnp.searchsorted(axis, x), 1, n - 1)
+    i0 = i1 - 1
+    w = (x - axis[i0]) / jnp.maximum(axis[i1] - axis[i0], 1e-30)
+    return i0, i1, jnp.clip(w, 0.0, 1.0)
+
+
+def _nest_table_delays(params, key, recoil_cls, field, energy, n):
+    """Sample scintillation delays from the (class, field, energy) quantile
+    table by bilinear interpolation in (field, energy) and linear inverse-CDF
+    sampling in the quantile axis."""
+    tbl = params.nest_inv_cdf
+    M = tbl.shape[-1]
+    fi0, fi1, fw = _grid_pos(params.nest_fields, field)
+    ei0, ei1, ew = _grid_pos(params.nest_energies, energy)
+    u = jax.random.uniform(key, (n,)) * (M - 1)
+    k0 = jnp.floor(u).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, M - 1)
+    kw = u - k0
+
+    def gather(fi, ei, k):
+        return tbl[recoil_cls, fi, ei, k]
+
+    out = 0.0
+    for fi, fwgt in ((fi0, 1 - fw), (fi1, fw)):
+        for ei, ewgt in ((ei0, 1 - ew), (ei1, ew)):
+            q = gather(fi, ei, k0) * (1 - kw) + gather(fi, ei, k1) * kw
+            out = out + fwgt * ewgt * q
+    return out
+
+
 def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
     """Simulate a padded batch of S1 instructions into a photon batch.
 
@@ -135,7 +168,15 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
     if 'custom' in model:
         rc = _recoil_class(inst['recoil'])[ph_inst]
         t = t + trunc_int(_custom_recoil_delays(const, keys[5], rc, capacity))
-    # ('nest' timing mode uses tabulated NEST photon-time CDFs; see nest.py)
+    if 'nest' in model and params.nest_inv_cdf is not None:
+        # tabulated NEST photon-time CDFs sampled on device (the reference
+        # loops nestpy.GetPhotonTimes per instruction, s1.py:217-234)
+        rc = _recoil_class(inst['recoil'])[ph_inst]
+        fld = inst.get('local_field', jnp.full(inst['x'].shape,
+                                               const.drift_field))[ph_inst]
+        edep = inst.get('e_dep', jnp.full(inst['x'].shape, 10.0))[ph_inst]
+        t = t + trunc_int(_nest_table_delays(params, keys[2], rc, fld, edep,
+                                             capacity))
 
     truth_row = inst['truth_row'][ph_inst]
     photons, truth = pmt_response(params, const, t, ch, ph_valid, truth_row,

@@ -396,5 +396,16 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32).at[
         jnp.where(inst['valid'], inst['truth_row'], 0)].add(
         jnp.where(inst['valid'], n_electron, 0))
+    # Field-distorted mean electron position per truth row
+    # (reference: rawdata.py:377-390)
+    if const.field_distortion_model in ('inverse_fdc', 'comsol'):
+        row = jnp.where(inst['valid'], inst['truth_row'], 0)
+        v1 = inst['valid'].astype(jnp.float32)
+        cnt = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(v1)
+        for name, vals in (('x_mean_electron', positions[:, 0]),
+                           ('y_mean_electron', positions[:, 1])):
+            s = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+                jnp.where(inst['valid'], vals, 0.0))
+            truth[name] = s / jnp.maximum(cnt, 1.0)
     totals = dict(electrons=total_e, photons=total_ph)
     return photons, truth, totals

@@ -26,35 +26,42 @@ __all__ = ['find_intervals', 'zle_all_channels']
 _BIG = jnp.int32(2 ** 30)
 
 
-def _find_intervals_1ch(below, holdoff: int, max_intervals: int):
-    """Interval finding on one boolean mask (T,).  Returns (starts, ends,
-    count): inclusive bounds of merged below-threshold intervals."""
-    T = below.shape[0]
-    idx = jnp.arange(T, dtype=jnp.int32)
-    below_idx = jnp.where(below, idx, -_BIG)
-    # Index of the most recent below-threshold sample strictly before i
-    prev_below = jnp.concatenate([
-        jnp.full((1,), -_BIG, dtype=jnp.int32),
-        jax.lax.cummax(below_idx)[:-1]])
-    # A below sample starts a new interval iff the previous below sample is
-    # more than `holdoff` samples back (reference close rule: utils.py:44-45).
-    new_start = below & ((idx - prev_below) > holdoff)
-    interval_id = jnp.where(below, jnp.cumsum(new_start.astype(jnp.int32)) - 1, -1)
-    interval_id_c = jnp.clip(interval_id, 0, max_intervals - 1)
-
-    starts = jnp.full((max_intervals,), _BIG, dtype=jnp.int32)
-    ends = jnp.full((max_intervals,), -_BIG, dtype=jnp.int32)
-    starts = starts.at[interval_id_c].min(jnp.where(below, idx, _BIG))
-    ends = ends.at[interval_id_c].max(jnp.where(below, idx, -_BIG))
-    count = jnp.minimum(jnp.max(interval_id) + 1, max_intervals)
-    return starts, ends, count
-
-
 @partial(jax.jit, static_argnames=('holdoff', 'max_intervals'))
 def find_intervals(below: jnp.ndarray, *, holdoff: int, max_intervals: int):
-    """vmapped interval finder. ``below``: (C, T) bool. Returns
-    starts (C, K), ends (C, K), counts (C,)."""
-    return jax.vmap(lambda b: _find_intervals_1ch(b, holdoff, max_intervals))(below)
+    """All-channel interval finder. ``below``: (C, T) bool. Returns
+    starts (C, K), ends (C, K), counts (C,).
+
+    Start/end samples are detected with running max/min of below-threshold
+    indices (the holdoff gap rule), then the first K per channel are
+    extracted with ``top_k`` — no scatters, which XLA TPU serializes badly.
+    """
+    C, T = below.shape
+    idx = jnp.arange(T, dtype=jnp.int32)[None, :]
+    below_idx = jnp.where(below, idx, -_BIG)
+    # Most recent below-threshold sample strictly before i
+    prev_below = jnp.concatenate([
+        jnp.full((C, 1), -_BIG, dtype=jnp.int32),
+        jax.lax.cummax(below_idx, axis=1)[:, :-1]], axis=1)
+    # Next below-threshold sample strictly after i
+    next_idx = jnp.where(below, idx, _BIG)
+    next_below = jnp.concatenate([
+        jnp.flip(jax.lax.cummin(jnp.flip(next_idx, 1), axis=1), 1)[:, 1:],
+        jnp.full((C, 1), _BIG, dtype=jnp.int32)], axis=1)
+    # Interval start: previous below sample > holdoff back
+    # (reference close rule: utils.py:44-45); end: next below > holdoff ahead
+    new_start = below & ((idx - prev_below) > holdoff)
+    is_end = below & ((next_below - idx) > holdoff)
+
+    # Extract the first K starts/ends per channel in ascending sample order
+    def first_k(mask):
+        vals, _ = jax.lax.top_k(jnp.where(mask, T - idx, 0), max_intervals)
+        return jnp.where(vals > 0, T - vals, _BIG)
+
+    starts = first_k(new_start)
+    ends = first_k(is_end)
+    counts = jnp.minimum(new_start.sum(axis=1), max_intervals)
+    ends = jnp.where(ends >= _BIG, -_BIG, ends)
+    return starts, ends, counts
 
 
 @partial(jax.jit, static_argnames=('holdoff', 'max_intervals', 'trigger_window'))

@@ -44,7 +44,6 @@ class ChunkRawRecords:
         return len(self.config['gains'])
 
     def __call__(self, instructions, time_zero=None, **kwargs):
-        samples_per_record = DEFAULT_RECORD_LENGTH
         if len(instructions) == 0:
             self.rawdata.source_finished = True
             return
@@ -53,23 +52,29 @@ class ChunkRawRecords:
         rext = int(self.config['right_raw_extension'])
         cksz = int(self.config['chunk_size'] * 1e9)
 
+        # grow the truth buffer for large instruction sets (the raw data
+        # phase fills all truth up front)
+        need_truth = 4 * len(instructions) + 1000
+        if need_truth > len(self.truth_buffer):
+            self.truth_buffer = np.zeros(need_truth,
+                                         dtype=self.truth_buffer.dtype)
+
         self.blevel = 0
         self.chunk_time_pre = (time_zero - rext if time_zero
                                else np.min(instructions['time']) - rext)
         self.chunk_time = self.chunk_time_pre + cksz
         self.current_digitized_right = self.last_digitized_right = 0
 
-        for channel, left, right, data in self.rawdata(
+        for win in self.rawdata.iter_windows(
                 instructions=instructions, truth_buffer=self.truth_buffer,
                 **kwargs):
-            pulse_length = right - left + 1
-            records_needed = int(np.ceil(pulse_length / samples_per_record))
+            records = win['records']
+            records_needed = len(records)
 
-            if self.rawdata.right != self.current_digitized_right:
-                self.last_digitized_right = self.current_digitized_right
-                self.current_digitized_right = self.rawdata.right
+            self.last_digitized_right = self.current_digitized_right
+            self.current_digitized_right = win['win_right']
 
-            if self.rawdata.left * dt > self.chunk_time + rext:
+            if win['win_left'] * dt > self.chunk_time + rext:
                 # Pause the stream at a chunk boundary; extend the boundary if
                 # it fell inside a digitized event
                 # (reference: strax_interface.py:398-418)
@@ -88,22 +93,11 @@ class ChunkRawRecords:
                 self.chunk_time += cksz
 
             if self.blevel + records_needed > buffer_length:
-                log.warning('Pulse length too large, skipping pulse')
+                log.warning('Window too large, skipping records')
                 continue
 
-            s = slice(self.blevel, self.blevel + records_needed)
-            self.record_buffer[s]['channel'] = channel
-            self.record_buffer[s]['dt'] = dt
-            self.record_buffer[s]['time'] = dt * (
-                left + samples_per_record * np.arange(records_needed))
-            self.record_buffer[s]['length'] = [
-                min(pulse_length, samples_per_record * (i + 1))
-                - samples_per_record * i for i in range(records_needed)]
-            self.record_buffer[s]['pulse_length'] = pulse_length
-            self.record_buffer[s]['record_i'] = np.arange(records_needed)
-            self.record_buffer[s]['data'] = np.pad(
-                data, (0, records_needed * samples_per_record - pulse_length),
-                'constant').reshape((-1, samples_per_record))
+            self.record_buffer[self.blevel:self.blevel + records_needed] = \
+                records
             self.blevel += records_needed
 
         self.last_digitized_right = self.current_digitized_right

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
-__all__ = ['digitize_window']
+__all__ = ['digitize_window', 'digitize_pack_windows', 'SAMPLES_PER_RECORD']
+
+SAMPLES_PER_RECORD = 110
 
 
 def _channel_extents(t, ch, valid, n_channels, dt, before, after, store_b, store_a):
@@ -126,3 +128,150 @@ def digitize_window(params, const, t, ch, gain, valid, key, noise_ix,
     return dict(data=data.astype(jnp.int16),
                 ch_mask=mask, ch_left=left_all, ch_right=right_all,
                 zle_starts=starts, zle_ends=ends, zle_counts=counts)
+
+
+def _digitize_one(params, const, t, ch, gain, valid, key,
+                  n_samples: int, max_intervals: int):
+    """Single-window digitize (shared by digitize_window and the batched
+    path); returns the int16 grid plus channel windows and ZLE intervals."""
+    dt = const.sample_duration
+    C = const.n_tpc_pmts
+    C_all = const.n_channels_total
+    T = n_samples
+
+    W = photons_to_waveform(t, ch, gain, valid, 0, params.templates,
+                            n_channels=C, n_samples=T, sample_duration=dt)
+    adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
+
+    pl, pr, has = _channel_extents(
+        t, ch, valid, C, dt,
+        const.samples_before_pulse_center, const.samples_after_pulse_center,
+        const.samples_to_store_before, const.samples_to_store_after)
+    ch_left = jnp.clip(pl - const.trigger_window, 0, T - 1)
+    ch_right = jnp.clip(pr + const.trigger_window, 0, T - 1)
+
+    data = jnp.zeros((C_all, T), jnp.int32)
+    data = data.at[:C].set(adc)
+    mask = jnp.zeros(C_all, bool).at[:C].set(has)
+    left_all = jnp.full(C_all, 0, jnp.int32).at[:C].set(ch_left)
+    right_all = jnp.full(C_all, 0, jnp.int32).at[:C].set(ch_right)
+
+    if const.detector == 'XENONnT' and const.he_channel_end >= const.he_channel_start:
+        n_top = const.n_top_pmts
+        he_lo = const.he_channel_start
+        adc_he = adc[:n_top] * const.high_energy_deamp_int
+        data = data.at[he_lo:he_lo + n_top].set(adc_he)
+        mask = mask.at[he_lo:he_lo + n_top].set(has[:n_top])
+        left_all = left_all.at[he_lo:he_lo + n_top].set(ch_left[:n_top])
+        right_all = right_all.at[he_lo:he_lo + n_top].set(ch_right[:n_top])
+        bot_sum = jnp.sum(adc[n_top:C] * const.high_energy_deamp_int, axis=0)
+        data = data.at[const.sum_signal_channel].add(bot_sum)
+
+    idx = jnp.arange(T, dtype=jnp.int32)
+    in_win = (idx[None, :] >= left_all[:, None]) & \
+             (idx[None, :] <= right_all[:, None]) & mask[:, None]
+
+    if const.enable_noise and params.noise_data is not None:
+        L = params.noise_data.shape[0]
+        Cn = params.noise_data.shape[1]
+        nch = min(Cn, C_all)
+        # random noise-bank origin (reference: rawdata.py:407-417)
+        lg = jnp.min(jnp.where(mask, left_all, jnp.int32(2 ** 30)))
+        rg = jnp.max(jnp.where(mask, right_all, jnp.int32(-2 ** 30)))
+        high = jnp.maximum(L - (rg - lg) - 1, 1)
+        noise_ix = jax.random.randint(key, (), 0, high, dtype=jnp.int32)
+        col = (noise_ix + idx[None, :] - left_all[:nch, None]) % L
+        noise = jnp.take_along_axis(params.noise_data[:, :nch].T, col, axis=1)
+        data = data.at[:nch].add(jnp.where(in_win[:nch], noise, 0))
+
+    data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
+    data = jnp.where(in_win, jnp.maximum(data, 0), data)
+
+    holdoff = 2 * const.trigger_window + 1
+    starts, ends, counts = zle_all_channels(
+        data, params.zle_thresholds, left_all, right_all, mask,
+        holdoff=holdoff, trigger_window=const.trigger_window,
+        max_intervals=max_intervals)
+    return (data.astype(jnp.int16), mask, left_all, right_all,
+            starts, ends, counts)
+
+
+@partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
+                                   'max_records'))
+def digitize_pack_windows(params, const, packed, key, *,
+                          n_samples: int,
+                          max_intervals: int = 64,
+                          max_records: int = 4096):
+    """Digitize a BATCH of windows and pack strax records on device.
+
+    This is the production path: one dispatch for many windows, and the only
+    device->host traffic is the packed record rows themselves (the reference
+    ships every waveform through python; the v1 path here shipped full
+    (801, T) grids, which the TPU tunnel cannot afford).
+
+    :param packed: (B, 3, N) int32 — per window: [t_rel_ns, channel, gain
+        bits (f32 bitcast)].  channel < 0 marks padding slots.
+    :returns: dict with
+        rec_data (max_records, SAMPLES_PER_RECORD) int16,
+        rec_meta (max_records, 6) int32 =
+            [window, channel, left_rel_samples, length, pulse_length,
+             record_i],
+        n_records (scalar), per-window zle counts (B,).
+    """
+    B = packed.shape[0]
+    spr = SAMPLES_PER_RECORD
+    T = n_samples
+    C_all = const.n_channels_total
+    keys = jax.random.split(key, B)
+
+    def one(pk, k):
+        t = pk[0]
+        ch = pk[1]
+        gain = jax.lax.bitcast_convert_type(pk[2], jnp.float32)
+        valid = ch >= 0
+        return _digitize_one(params, const, t, ch, gain, valid, k,
+                             n_samples=T, max_intervals=max_intervals)
+
+    data, mask, left_all, right_all, starts, ends, counts = \
+        jax.vmap(one)(packed, keys)
+
+    # ---- flatten intervals across (B, C_all, K) and assign record slots ----
+    K = max_intervals
+    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    itv_valid = kk < counts[:, :, None]
+    plen = jnp.where(itv_valid, ends - starts + 1, 0)
+    left_rel = left_all[:, :, None] + starts          # window-relative samples
+    nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
+
+    nrec_f = nrec.reshape(-1)
+    csum = jnp.cumsum(nrec_f)
+    total = csum[-1]
+    r = jnp.arange(max_records, dtype=jnp.int32)
+    itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
+    itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
+    base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
+    record_i = (r - base).astype(jnp.int32)
+    rec_valid = r < total
+
+    w_of = itv_of_r // (C_all * K)
+    c_of = (itv_of_r // K) % C_all
+    plen_f = plen.reshape(-1)[itv_of_r]
+    left_f = left_rel.reshape(-1)[itv_of_r]
+
+    start_s = left_f + record_i * spr
+    length = jnp.clip(plen_f - record_i * spr, 0, spr)
+
+    # gather the record payloads from the batched grid
+    flat = data.reshape(-1)
+    col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
+    gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
+    rows = flat[gidx]
+    in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
+    rows = jnp.where(in_len & rec_valid[:, None], rows, 0).astype(jnp.int16)
+
+    meta = jnp.stack([
+        jnp.where(rec_valid, w_of, -1),
+        c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
+    return dict(rec_data=rows, rec_meta=meta,
+                n_records=total.astype(jnp.int32),
+                zle_counts=counts.sum(axis=1))

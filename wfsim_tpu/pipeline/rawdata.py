@@ -68,6 +68,7 @@ class _Pulse(ty.NamedTuple):
     t_min: int                # abs ns (first photon)
     t_max: int                # abs ns (last photon)
     truth_key: int
+    event_number: int
 
 
 class RawDataTPU:
@@ -130,6 +131,10 @@ class RawDataTPU:
         out['z'] = pad(sel['z'], np.float32)
         out['amp'] = pad(sel['amp'], np.int32)
         out['recoil'] = pad(sel['recoil'], np.int32)
+        if 'local_field' in sel.dtype.names:
+            out['local_field'] = pad(sel['local_field'], np.float32)
+        if 'e_dep' in sel.dtype.names:
+            out['e_dep'] = pad(sel['e_dep'], np.float32)
         out['valid'] = pad(np.ones(len(idx), bool), bool, False)
         out['truth_row'] = pad(truth_rows, np.int32)
         return out, icap
@@ -270,7 +275,9 @@ class RawDataTPU:
                     inst_idx=np.asarray(idx)[members],
                     pool_start=start, pool_count=n,
                     t_min=int(t_abs.min()), t_max=int(t_abs.max()),
-                    truth_key=len(truth_sink) - 1))
+                    truth_key=len(truth_sink) - 1,
+                    event_number=int(instructions[idx[members[0]]]
+                                     ['event_number'])))
 
     def _assemble_truth_row(self, kind, truth_h, r, base_time, insts, n_primary):
         """Build one truth dict (reference: rawdata.py:313-375)."""
@@ -333,14 +340,40 @@ class RawDataTPU:
                 row[field] = int(np.sum(v))
             else:
                 row[field] = v[0]
-        row['x_mean_electron'] = np.nan
-        row['y_mean_electron'] = np.nan
+        if 'x_mean_electron' in truth_h:
+            row['x_mean_electron'] = float(truth_h['x_mean_electron'][r])
+            row['y_mean_electron'] = float(truth_h['y_mean_electron'][r])
+        else:
+            row['x_mean_electron'] = np.nan
+            row['y_mean_electron'] = np.nan
         return row
 
-    # -- main generator -------------------------------------------------------
+    # -- main generators -------------------------------------------------------
 
     def __call__(self, instructions, truth_buffer=None, progress_bar=False,
                  **kwargs):
+        """Legacy tuple interface: yields (channel, left, right, data) pulses
+        like the reference RawData generator (used by the pax output path).
+        The production path is :meth:`iter_windows`."""
+        for win in self.iter_windows(instructions, truth_buffer, **kwargs):
+            recs = win['records']
+            dt = self.const.sample_duration
+            i = 0
+            n = len(recs)
+            while i < n:
+                plen = int(recs['pulse_length'][i])
+                nrec = -(-plen // len(recs['data'][i]))
+                data = np.concatenate(
+                    [recs['data'][i + j] for j in range(nrec)])[:plen]
+                left = int(recs['time'][i]) // dt
+                yield (int(recs['channel'][i]), left, left + plen - 1, data)
+                i += nrec
+
+    def iter_windows(self, instructions, truth_buffer=None, **kwargs):
+        """Production interface: yields per digitization window a dict with
+        win_left/win_right (absolute samples) and a ready strax raw_record
+        array (sorted by channel, then interval, like the reference's per
+        flush yield order)."""
         if truth_buffer is None:
             truth_buffer = []
         rext = int(self.config['right_raw_extension'])
@@ -353,6 +386,8 @@ class RawDataTPU:
         truth_rows: ty.List[dict] = []
 
         instructions = np.asarray(instructions)
+        self.instruction_event_number = int(np.min(instructions['event_number'])) \
+            if len(instructions) else 0
         arrival = self._arrival_times(instructions)
         order = np.argsort(arrival, kind='stable')
 
@@ -425,7 +460,12 @@ class RawDataTPU:
             truth_buffer[ix]['fill'] = True
 
     def _digitize_all(self, rext, dt):
-        """Group pulses into windows, digitize, and yield ZLE intervals."""
+        """Group pulses into windows, digitize in large batched device calls
+        with on-device record packing, and yield per-window record arrays in
+        time order."""
+        from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
+        from .digitize import digitize_pack_windows
+
         if not self._pulses:
             return
         margin_l = (self.const.samples_to_store_before
@@ -452,63 +492,82 @@ class RawDataTPU:
             cur_end = max(cur_end, p.t_max + margin_r * dt)
         groups.append(cur)
 
+        # window descriptors (in time order)
+        wins = []
         for grp in groups:
             t_min = min(p.t_min for p in grp)
             t_max = max(p.t_max for p in grp)
             win_left = t_min // dt - margin_l
             if win_left % 2 != 0:
-                win_left -= 1       # digitizer quirk (reference rawdata.py:221)
+                win_left -= 1      # digitizer quirk (reference rawdata.py:221)
             win_right = t_max // dt + margin_r
             T = int(win_right - win_left + 1)
             assert T < 1_000_000, 'Pulse cache too long'
-            T_cap = _bucket(T, lo=512, hi=2 ** 20)
-
             sel = np.concatenate([
                 np.arange(p.pool_start, p.pool_start + p.pool_count)
                 for p in grp])
-            n = len(sel)
-            n_cap = _bucket(n, lo=256)
-            base_ns = int(win_left) * dt
-            tt = np.zeros(n_cap, np.int32)
-            tt[:n] = (pool_t[sel] - base_ns).astype(np.int32)
-            cc = np.zeros(n_cap, np.int32)
-            cc[:n] = pool_ch[sel]
-            gg = np.zeros(n_cap, np.float32)
-            gg[:n] = pool_g[sel]
-            vv = np.zeros(n_cap, bool)
-            vv[:n] = True
+            wins.append(dict(grp=grp, win_left=int(win_left),
+                             win_right=int(win_right),
+                             T_cap=_bucket(T, lo=512, hi=2 ** 20),
+                             sel=sel))
 
-            noise_high = 1
-            if self.const.enable_noise and self.params.noise_data is not None:
-                L = int(self.params.noise_data.shape[0])
-                noise_high = max(L - T - 1, 1)
-            noise_ix = int(self.rng.integers(0, noise_high)) if noise_high > 1 else 0
+        # bucket windows by (T_cap, N_cap) and digitize in batches
+        results = [None] * len(wins)
+        buckets: ty.Dict[tuple, list] = {}
+        for i, w in enumerate(wins):
+            n_cap = _bucket(len(w['sel']), lo=256)
+            buckets.setdefault((w['T_cap'], n_cap), []).append(i)
 
-            max_itv = 128
-            res = digitize_window(
-                self.params, self.const,
-                jnp.asarray(tt), jnp.asarray(cc), jnp.asarray(gg),
-                jnp.asarray(vv), self._next_key(), jnp.int32(noise_ix),
-                n_samples=T_cap, max_intervals=max_itv)
+        spr = DEFAULT_RECORD_LENGTH
+        for (T_cap, n_cap), indices in buckets.items():
+            b_max = max(1, 2 ** 18 // T_cap)
+            for lo in range(0, len(indices), b_max):
+                batch = indices[lo:lo + b_max]
+                B = len(batch)
+                packed = np.full((B, 3, n_cap), -1, np.int32)
+                for bi, wi in enumerate(batch):
+                    w = wins[wi]
+                    sel = w['sel']
+                    base_ns = w['win_left'] * dt
+                    n = len(sel)
+                    packed[bi, 0, :n] = (pool_t[sel] - base_ns).astype(np.int32)
+                    packed[bi, 1, :n] = pool_ch[sel]
+                    packed[bi, 2, :n] = pool_g[sel].view(np.int32)
 
-            data = np.asarray(res['data'])
-            mask = np.asarray(res['ch_mask'])
-            ch_left = np.asarray(res['ch_left'])
-            counts = np.asarray(res['zle_counts'])
-            starts = np.asarray(res['zle_starts'])
-            ends = np.asarray(res['zle_ends'])
+                max_records = 4096
+                while True:
+                    res = digitize_pack_windows(
+                        self.params, self.const, jnp.asarray(packed),
+                        self._next_key(), n_samples=T_cap,
+                        max_intervals=int(self.config.get('zle_max_intervals', 64)),
+                        max_records=max_records)
+                    n_rec = int(res['n_records'])
+                    if n_rec <= max_records:
+                        break
+                    max_records = _bucket(n_rec, lo=4096)
 
-            # expose window bounds for the chunker (reference keeps
-            # self.left/self.right on RawData, rawdata.py:215-216)
-            self.left = int(win_left)
-            self.right = int(win_right)
-            self.last_pulse_end_time = int(win_right) * dt
+                meta = np.asarray(res['rec_meta'])[:n_rec]
+                rdata = np.asarray(res['rec_data'])[:n_rec]
+                # split records by window (meta col 0 ascending by design)
+                for bi, wi in enumerate(batch):
+                    m = meta[:, 0] == bi
+                    sub = meta[m]
+                    recs = np.zeros(len(sub), dtype=raw_record_dtype(spr))
+                    recs['time'] = ((np.int64(wins[wi]['win_left'])
+                                     + sub[:, 2].astype(np.int64)) * dt)
+                    recs['channel'] = sub[:, 1]
+                    recs['dt'] = dt
+                    recs['length'] = sub[:, 3]
+                    recs['pulse_length'] = sub[:, 4]
+                    recs['record_i'] = sub[:, 5]
+                    recs['data'] = rdata[m]
+                    results[wi] = recs
 
-            for c in np.nonzero(mask & (counts > 0))[0]:
-                cl = int(ch_left[c])
-                for k in range(int(counts[c])):
-                    s_, e_ = int(starts[c, k]), int(ends[c, k])
-                    yield (int(c),
-                           int(win_left) + cl + s_,
-                           int(win_left) + cl + e_,
-                           data[c, cl + s_: cl + e_ + 1])
+        for wi, w in enumerate(wins):
+            self.left = w['win_left']
+            self.right = w['win_right']
+            self.last_pulse_end_time = w['win_right'] * dt
+            self.instruction_event_number = min(p.event_number
+                                                for p in w['grp'])
+            yield dict(win_left=w['win_left'], win_right=w['win_right'],
+                       records=results[wi])
