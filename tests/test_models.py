@@ -116,9 +116,11 @@ def test_pmt_afterpulses_rate_and_delay():
         valid=jnp.ones(n, bool),
         truth_row=jnp.zeros(n, jnp.int32),
     )
-    ap, total = pmt_afterpulse_photons(params, const, photons,
-                                       jax.random.key(3), ap_capacity=8192)
-    total = int(total)
+    ap, info = pmt_afterpulse_photons(params, const, photons,
+                                      jax.random.key(3), ap_capacity=8192,
+                                      n_truth_rows=1)
+    total = int(info['total'])
+    assert int(info['counts'][0]) == min(total, 8192)
     # synthetic AP probability is ~0.6% over two species
     assert 0.002 * n < total < 0.02 * n
     t = np.asarray(ap['t'])[np.asarray(ap['valid'])]

@@ -45,8 +45,9 @@ def _argmin_abs_monotone(rows, row_idx, r):
     return jnp.where(pick_lo, i0, i1)
 
 
-@partial(jax.jit, static_argnames=('const', 'ap_capacity'))
-def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int):
+@partial(jax.jit, static_argnames=('const', 'ap_capacity', 'n_truth_rows'))
+def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
+                           n_truth_rows: int = 0):
     """Generate PMT afterpulse photons from a primary photon batch.
 
     :param photons: dict from pmt_response (t, ch, is_dpe, valid, truth_row)
@@ -98,11 +99,21 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int):
     # digitizer can gather contiguous per-group ranges.
     order = jnp.argsort(jnp.where(sel, row, jnp.int32(2 ** 30)), stable=True)
     take = order[:ap_capacity]
-    out = dict(t=t[take], ch=chs[take], gain=gain[take].astype(jnp.float32),
+    out = dict(t=t[take], ch=jnp.where(sel[take], chs[take], -1),
+               gain=gain[take].astype(jnp.float32),
                is_dpe=jnp.zeros(ap_capacity, bool),
                valid=sel[take], truth_row=row[take])
-    total = sel.sum()
-    return out, total
+    info = dict(total=sel.sum().astype(jnp.int32))
+    if n_truth_rows:
+        BIG = jnp.int32(2 ** 30)
+        rc = jnp.where(out['valid'], out['truth_row'], 0)
+        info['counts'] = jnp.zeros(n_truth_rows, jnp.int32).at[rc].add(
+            out['valid'].astype(jnp.int32))
+        info['t_min'] = jnp.full(n_truth_rows, BIG, jnp.int32).at[rc].min(
+            jnp.where(out['valid'], out['t'], BIG))
+        info['t_max'] = jnp.full(n_truth_rows, -BIG, jnp.int32).at[rc].max(
+            jnp.where(out['valid'], out['t'], -BIG))
+    return out, info
 
 
 @partial(jax.jit, static_argnames=('n_inst', 'k_candidates'))

@@ -53,7 +53,10 @@ def pmt_response(params, const, t, ch, valid, truth_row, key,
     # Photons on turned-off PMTs are dropped entirely (reference: pulse.py:89)
     valid = valid & (ch >= 0) & (ch < params.gains.shape[0]) & params.live_mask[chc]
 
-    photons = dict(t=t, ch=ch, gain=gain.astype(jnp.float32),
+    # invalid slots are marked with channel -1 so downstream consumers can
+    # carry padded buffers without a separate mask
+    photons = dict(t=t, ch=jnp.where(valid, ch, -1),
+                   gain=gain.astype(jnp.float32),
                    is_dpe=is_dpe, valid=valid, truth_row=truth_row)
 
     truth = None

@@ -185,4 +185,5 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
                               photons['truth_row'], n_truth_rows)
     truth.update({'photon_' + k: v for k, v in stats.items()})
     truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32)
-    return photons, truth, total
+    totals = dict(photons=total, req_counts=n_hits)
+    return photons, truth, totals

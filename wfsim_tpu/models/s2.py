@@ -407,5 +407,7 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
             s = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
                 jnp.where(inst['valid'], vals, 0.0))
             truth[name] = s / jnp.maximum(cnt, 1.0)
-    totals = dict(electrons=total_e, photons=total_ph)
+    req_counts = jnp.zeros(inst['x'].shape[0], jnp.int32).at[e_inst].add(
+        jnp.where(e_valid, n_ph_per_e, 0))
+    totals = dict(electrons=total_e, photons=total_ph, req_counts=req_counts)
     return photons, truth, totals

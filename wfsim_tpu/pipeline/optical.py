@@ -79,19 +79,30 @@ class RawDataOpticalTPU(RawDataTPU):
             jnp.asarray(vv), jnp.asarray(rr), self._next_key(),
             n_truth_rows=n_rows_cap)
 
-        ap_photons = None
+        ap_photons = ap_info = None
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             from ..models.afterpulse import pmt_afterpulse_photons
             ap_cap = _bucket(max(cap // 16, 256))
-            ap_photons, ap_total = pmt_afterpulse_photons(
-                self.params, self.const, photons, self._next_key(),
-                ap_capacity=ap_cap)
-            if int(ap_total) > ap_cap:
-                ap_photons, ap_total = pmt_afterpulse_photons(
-                    self.params, self.const, photons, self._next_key(),
-                    ap_capacity=_bucket(int(ap_total)))
+            ap_key = self._next_key()
+            ap_photons, ap_info = pmt_afterpulse_photons(
+                self.params, self.const, photons, ap_key,
+                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+            if int(ap_info['total']) > ap_cap:
+                ap_photons, ap_info = pmt_afterpulse_photons(
+                    self.params, self.const, photons, ap_key,
+                    ap_capacity=_bucket(int(ap_info['total'])),
+                    n_truth_rows=n_rows_cap)
+
+        # per-instruction slot layout: photons were packed contiguously per
+        # instruction on the host above
+        req = np.zeros(len(sel), np.int32)
+        for r in range(len(sel)):
+            req[r] = len(t_list[r])
+        totals = dict(req_counts=jnp.asarray(
+            np.pad(req, (0, n_rows_cap - len(sel)))))
 
         row_members = [[i] for i in range(len(sel))]
-        self._pool_append(photons, ap_photons, idx, instructions, base_time,
-                          truth, row_members, n_rows_cap, 's1', truth_sink)
+        self._pool_append(photons, ap_photons, ap_info, idx, instructions,
+                          base_time, truth, totals, row_members, 's1',
+                          truth_sink)

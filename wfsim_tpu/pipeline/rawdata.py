@@ -173,18 +173,16 @@ class RawDataTPU:
         key = self._next_key()
         for _attempt in range(6):
             if kind == 's1':
-                photons, truth, total = _sim_s1_jit(
+                photons, truth, totals = _sim_s1_jit(
                     self.params, self.const, inst, key,
                     capacity=cap, n_truth_rows=n_rows_cap)
-                totals = {'photons': total}
             else:
                 ecap = _bucket(int(amps.sum()) + 64, lo=256)
                 photons, truth, totals = _sim_s2_jit(
                     self.params, self.const, inst, key,
                     e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
             need = int(totals['photons'])
-            if need <= cap and int(totals.get('electrons', 0)) <= (
-                    ecap if kind != 's1' else 2 ** 62):
+            if need <= cap:
                 break
             cap = _bucket(max(need, cap * 2))
         else:
@@ -192,17 +190,19 @@ class RawDataTPU:
 
         # PMT afterpulses ride along with their primary
         # (reference: rawdata.py:176-178)
-        ap_photons = None
+        ap_photons = ap_info = None
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             ap_cap = _bucket(max(cap // 16, 256))
-            ap_photons, ap_total = pmt_afterpulse_photons(
-                self.params, self.const, photons, self._next_key(),
-                ap_capacity=ap_cap)
-            if int(ap_total) > ap_cap:
-                ap_photons, ap_total = pmt_afterpulse_photons(
-                    self.params, self.const, photons, self._next_key(),
-                    ap_capacity=_bucket(int(ap_total)))
+            ap_key = self._next_key()
+            ap_photons, ap_info = pmt_afterpulse_photons(
+                self.params, self.const, photons, ap_key,
+                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+            if int(ap_info['total']) > ap_cap:
+                ap_photons, ap_info = pmt_afterpulse_photons(
+                    self.params, self.const, photons, ap_key,
+                    ap_capacity=_bucket(int(ap_info['total'])),
+                    n_truth_rows=n_rows_cap)
 
         # electron-afterpulse feedback: only true S2 pulses spawn them
         # (reference: rawdata.py:193-201)
@@ -223,61 +223,89 @@ class RawDataTPU:
                 gen_sink.append(generate_pe_el_instructions(
                     self.config, self.rng, counts_h, tz_h, src, base_time))
 
-        # ---- host pool append ----
-        self._pool_append(photons, ap_photons, idx, instructions, base_time,
-                          truth, row_members, n_rows_cap, kind, truth_sink)
+        # ---- host pool append (range-based; no per-row scans) ----
+        self._pool_append(photons, ap_photons, ap_info, idx, instructions,
+                          base_time, truth, totals, row_members, kind,
+                          truth_sink)
 
-    def _pool_append(self, photons, ap_photons, idx, instructions, base_time,
-                     truth, row_members, n_rows_cap, kind, truth_sink):
-        pool = self._pool
-        t = np.asarray(photons['t'])
-        ch = np.asarray(photons['ch'])
-        gain = np.asarray(photons['gain'])
-        valid = np.asarray(photons['valid'])
-        row = np.asarray(photons['truth_row'])
-        truth_h = {k: np.asarray(v) for k, v in truth.items()}
+    def _append_buffer(self, photons, base_time):
+        """Fetch a photon buffer with ONE packed transfer and append it to the
+        pool; returns the pool offset of slot 0."""
+        packed = np.asarray(jnp.stack([
+            photons['t'].astype(jnp.int32),
+            photons['ch'].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(photons['gain'], jnp.int32)]))
+        start = self._pool_size
+        self._pool['t'].append(packed[0].astype(np.int64) + base_time)
+        self._pool['ch'].append(packed[1])
+        self._pool['gain'].append(packed[2].view(np.float32))
+        self._pool_size += packed.shape[1]
+        return start
 
-        buffers = [(t, ch, gain, valid, row)]
+    @staticmethod
+    def _fetch_packed(tree):
+        """device_get a dict of arrays with two transfers (int32 + float32)."""
+        items = sorted(tree.items())
+        ints = [(k, v) for k, v in items
+                if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool]
+        flts = [(k, v) for k, v in items
+                if not (jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool)]
+        out = {}
+        for group, dt in ((ints, np.int32), (flts, np.float32)):
+            if not group:
+                continue
+            flat = jnp.concatenate([jnp.ravel(v).astype(dt) for _, v in group])
+            host = np.asarray(flat)
+            o = 0
+            for k, v in group:
+                n = int(np.prod(v.shape))
+                out[k] = host[o:o + n].reshape(v.shape)
+                o += n
+        return out
+
+    def _pool_append(self, photons, ap_photons, ap_info, idx, instructions,
+                     base_time, truth, totals, row_members, kind, truth_sink):
+        truth_h = self._fetch_packed(dict(truth, _req=totals['req_counts']))
+        req = truth_h.pop('_req')[:len(idx)]
+        off = np.concatenate([[0], np.cumsum(req)]).astype(np.int64)
+
+        prim_start = self._append_buffer(photons, base_time)
+
+        ap_start = None
         if ap_photons is not None:
-            buffers.append(tuple(np.asarray(ap_photons[k])
-                                 for k in ('t', 'ch', 'gain', 'valid',
-                                           'truth_row')))
+            ap_h = self._fetch_packed(
+                {k: ap_info[k] for k in ('counts', 't_min', 't_max')})
+            ap_off = np.concatenate(
+                [[0], np.cumsum(ap_h['counts'])]).astype(np.int64)
+            ap_start = self._append_buffer(ap_photons, base_time)
 
         for r, members in enumerate(row_members):
-            sel_t, sel_ch, sel_g = [], [], []
-            for (bt, bch, bg, bv, brow) in buffers:
-                m = bv & (brow == r)
-                sel_t.append(bt[m])
-                sel_ch.append(bch[m])
-                sel_g.append(bg[m])
-            tt = np.concatenate(sel_t)
-            cc = np.concatenate(sel_ch)
-            gg = np.concatenate(sel_g)
-            n = len(tt)
             n_primary = int(truth_h['photon_count'][r])
-
-            start = self._pool_size
-            pool['t'].append(tt.astype(np.int64) + base_time)
-            pool['ch'].append(cc)
-            pool['gain'].append(gg)
-            self._pool_size += n
-
-            # truth summary for this row
             trow = self._assemble_truth_row(
                 kind, truth_h, r, base_time, instructions[idx][members],
                 n_primary)
             if trow is not None:
                 truth_sink.append(trow)
+            ev = int(instructions[idx[members[0]]]['event_number'])
 
-            if n > 0:
-                t_abs = tt.astype(np.int64) + base_time
+            if n_primary > 0:
+                slot_lo = int(off[members[0]])
+                cnt = int(off[members[-1] + 1] - slot_lo)
                 self._pulses.append(_Pulse(
                     inst_idx=np.asarray(idx)[members],
-                    pool_start=start, pool_count=n,
-                    t_min=int(t_abs.min()), t_max=int(t_abs.max()),
-                    truth_key=len(truth_sink) - 1,
-                    event_number=int(instructions[idx[members[0]]]
-                                     ['event_number'])))
+                    pool_start=prim_start + slot_lo, pool_count=cnt,
+                    t_min=int(truth_h['photon_t_min'][r]) + base_time,
+                    t_max=int(truth_h['photon_t_max'][r]) + base_time,
+                    truth_key=len(truth_sink) - 1, event_number=ev))
+
+            if ap_start is not None and int(ap_h['counts'][r]) > 0:
+                self._pulses.append(_Pulse(
+                    inst_idx=np.asarray(idx)[members],
+                    pool_start=ap_start + int(ap_off[r]),
+                    pool_count=int(ap_h['counts'][r]),
+                    t_min=int(ap_h['t_min'][r]) + base_time,
+                    t_max=int(ap_h['t_max'][r]) + base_time,
+                    truth_key=-1, event_number=ev))
 
     def _assemble_truth_row(self, kind, truth_h, r, base_time, insts, n_primary):
         """Build one truth dict (reference: rawdata.py:313-375)."""
