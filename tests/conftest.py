@@ -6,6 +6,12 @@ import os
 # NOTE: this environment registers the 'axon' TPU backend from
 # sitecustomize.py at interpreter start, so env vars set here are too late —
 # the platform must be overridden through jax.config before first backend use.
+# separate compile cache for the CPU test platform (TPU-built AOT entries
+# spam feature-mismatch warnings when loaded into CPU processes)
+os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.expanduser('~/.cache/wfsim_tpu_xla_cpu'))
+
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

@@ -1,0 +1,87 @@
+"""Native host kernels with numpy fallbacks.
+
+The C extension (native/fastpath.c, built by ``pip install -e .`` or
+``python setup.py build_ext --inplace``) accelerates the host hot loops;
+everything here works identically without it.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    from . import _fastpath
+    HAVE_NATIVE = True
+except ImportError:
+    _fastpath = None
+    HAVE_NATIVE = False
+
+__all__ = ['HAVE_NATIVE', 'pack_windows', 'find_intervals_below_threshold']
+
+
+def pack_windows(pool_t, pool_ch, pool_gain, piece_lo, piece_cnt, piece_win,
+                 win_base_ns, out):
+    """Gather photon-pool ranges into padded (B, 3, N) device-input arrays.
+
+    ``out`` must be pre-filled with the padding sentinel (channel -1).
+    Pieces must be grouped by window.  Returns per-window photon counts.
+    """
+    if HAVE_NATIVE and out.flags['C_CONTIGUOUS']:
+        return _fastpath.pack_windows(
+            np.ascontiguousarray(pool_t, np.int64),
+            np.ascontiguousarray(pool_ch, np.int32),
+            np.ascontiguousarray(pool_gain, np.float32).view(np.int32),
+            np.ascontiguousarray(piece_lo, np.int64),
+            np.ascontiguousarray(piece_cnt, np.int64),
+            np.ascontiguousarray(piece_win, np.int32),
+            np.ascontiguousarray(win_base_ns, np.int64),
+            out)
+    # numpy fallback
+    B = len(win_base_ns)
+    fill = [0] * B
+    slot_n = out.shape[2]
+    gain_bits = np.asarray(pool_gain, np.float32).view(np.int32)
+    for m in range(len(piece_lo)):
+        w = int(piece_win[m])
+        if w < 0 or w >= B:
+            continue
+        lo, c = int(piece_lo[m]), int(piece_cnt[m])
+        c = min(c, slot_n - fill[w])
+        if c <= 0:
+            continue
+        f = fill[w]
+        out[w, 0, f:f + c] = (pool_t[lo:lo + c] - win_base_ns[w]).astype(np.int32)
+        out[w, 1, f:f + c] = pool_ch[lo:lo + c]
+        out[w, 2, f:f + c] = gain_bits[lo:lo + c]
+        fill[w] += c
+    return fill
+
+
+def find_intervals_below_threshold(w, threshold, holdoff, result_buffer):
+    """Sequential ZLE hitfinder with the reference's exact semantics
+    (reference: wfsim/utils.py:14-58).  API-compatible replacement for the
+    reference's numba kernel."""
+    if HAVE_NATIVE:
+        return _fastpath.find_intervals_below_threshold(
+            np.ascontiguousarray(w, np.int64), int(threshold), int(holdoff),
+            np.ascontiguousarray(result_buffer, np.int64))
+    n = 0
+    in_interval = False
+    start = end = -1
+    T = len(w)
+    K = len(result_buffer)
+    for i, x in enumerate(w):
+        if x < threshold:
+            if not in_interval:
+                in_interval = True
+                start = i
+            end = i
+        if in_interval and ((i == T - 1)
+                            or (x >= threshold and i >= end + holdoff)):
+            in_interval = False
+            if n < K:
+                result_buffer[n, 0] = start
+                result_buffer[n, 1] = end
+                n += 1
+            else:
+                break
+    return n

@@ -32,7 +32,9 @@ class Model:
     @classmethod
     def _fields(cls):
         return [k for k in dir(cls)
-                if not k.startswith('_') and not callable(getattr(cls, k))]
+                if not k.startswith('_')
+                and not callable(getattr(cls, k))
+                and not isinstance(getattr(cls, k), property)]
 
     @staticmethod
     def _coerce(default, value):

@@ -275,3 +275,106 @@ def digitize_pack_windows(params, const, packed, key, *,
     return dict(rec_data=rows, rec_meta=meta,
                 n_records=total.astype(jnp.int32),
                 zle_counts=counts.sum(axis=1))
+
+
+@partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
+                                   'max_records', 'n_pieces', 'n_cap'))
+def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
+                         pieces, key, *,
+                         n_samples: int,
+                         n_pieces: int,
+                         n_cap: int,
+                         max_intervals: int = 64,
+                         max_records: int = 4096):
+    """Device-resident production path: gather each window's photons straight
+    from the on-device photon arena, then digitize + pack records.
+
+    Avoids the host round-trip of photon buffers entirely — the only
+    host->device traffic is the tiny piece table, and the only device->host
+    traffic is the packed records (the TPU tunnel has ~200 ms/transfer
+    latency and ~30 MB/s bandwidth, so this is the difference between being
+    transfer-bound and compute-bound).
+
+    :param arena_t/ch/gain: (A,) photon arena (concatenated sim buffers);
+        times are int32 ns relative to each buffer's base
+    :param pieces: (B, n_pieces, 3) int32 [arena_lo, count, t_offset] —
+        t_offset rebases buffer-relative times to window-relative ones;
+        count==0 marks padding pieces
+    :returns: as digitize_pack_windows, with rec_meta carrying one extra row
+        whose first element is the true total record count (so no separate
+        scalar sync is needed).
+    """
+    B = pieces.shape[0]
+    spr = SAMPLES_PER_RECORD
+    T = n_samples
+    C_all = const.n_channels_total
+    keys = jax.random.split(key, B)
+
+    def gather_one(pc):
+        lo = pc[:, 0]
+        cnt = pc[:, 1]
+        toff = pc[:, 2]
+        cum = jnp.cumsum(cnt)
+        total = cum[-1]
+        j = jnp.arange(n_cap, dtype=jnp.int32)
+        # piece index per slot: number of piece-ends <= j
+        p = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
+        p = jnp.minimum(p, n_pieces - 1)
+        prev = jnp.where(p > 0, cum[jnp.maximum(p - 1, 0)], 0)
+        idx = lo[p] + (j - prev)
+        idx = jnp.clip(idx, 0, arena_t.shape[0] - 1)
+        in_range = j < total
+        t = arena_t[idx] + toff[p]
+        ch = jnp.where(in_range, arena_ch[idx], -1)
+        gain = arena_gain[idx]
+        return t, ch, gain
+
+    def one(pc, k):
+        t, ch, gain = gather_one(pc)
+        valid = ch >= 0
+        return _digitize_one(params, const, t, ch, gain, valid, k,
+                             n_samples=T, max_intervals=max_intervals)
+
+    data, mask, left_all, right_all, starts, ends, counts = \
+        jax.vmap(one)(pieces, keys)
+
+    K = max_intervals
+    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    itv_valid = kk < counts[:, :, None]
+    plen = jnp.where(itv_valid, ends - starts + 1, 0)
+    left_rel = left_all[:, :, None] + starts
+    nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
+
+    nrec_f = nrec.reshape(-1)
+    csum = jnp.cumsum(nrec_f)
+    total = csum[-1]
+    r = jnp.arange(max_records, dtype=jnp.int32)
+    itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
+    itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
+    base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
+    record_i = (r - base).astype(jnp.int32)
+    rec_valid = r < total
+
+    w_of = itv_of_r // (C_all * K)
+    c_of = (itv_of_r // K) % C_all
+    plen_f = plen.reshape(-1)[itv_of_r]
+    left_f = left_rel.reshape(-1)[itv_of_r]
+
+    start_s = left_f + record_i * spr
+    length = jnp.clip(plen_f - record_i * spr, 0, spr)
+
+    flat = data.reshape(-1)
+    col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
+    gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
+    rows = flat[gidx]
+    in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
+    rows = jnp.where(in_len & rec_valid[:, None], rows, 0).astype(jnp.int16)
+
+    meta = jnp.stack([
+        jnp.where(rec_valid, w_of, -1),
+        c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
+    # trailer row: true total (avoids a separate scalar device sync)
+    trailer = jnp.array([[0, 0, 0, 0, 0, 0]], jnp.int32).at[0, 0].set(
+        total.astype(jnp.int32))
+    meta = jnp.concatenate([meta, trailer], axis=0)
+    return dict(rec_data=rows, rec_meta=meta)

@@ -79,30 +79,30 @@ class RawDataOpticalTPU(RawDataTPU):
             jnp.asarray(vv), jnp.asarray(rr), self._next_key(),
             n_truth_rows=n_rows_cap)
 
-        ap_photons = ap_info = None
+        truth_h = self._fetch_packed(truth)
+
+        ap_photons = ap_h = None
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             from ..models.afterpulse import pmt_afterpulse_photons
             ap_cap = _bucket(max(cap // 16, 256))
             ap_key = self._next_key()
-            ap_photons, ap_info = pmt_afterpulse_photons(
-                self.params, self.const, photons, ap_key,
-                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-            if int(ap_info['total']) > ap_cap:
+            for _attempt in range(6):
                 ap_photons, ap_info = pmt_afterpulse_photons(
                     self.params, self.const, photons, ap_key,
-                    ap_capacity=_bucket(int(ap_info['total'])),
-                    n_truth_rows=n_rows_cap)
+                    ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+                ap_h = self._fetch_packed(
+                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
+                                             'total')})
+                if int(ap_h['total']) <= ap_cap:
+                    break
+                ap_cap = _bucket(int(ap_h['total']))
 
         # per-instruction slot layout: photons were packed contiguously per
         # instruction on the host above
-        req = np.zeros(len(sel), np.int32)
-        for r in range(len(sel)):
-            req[r] = len(t_list[r])
-        totals = dict(req_counts=jnp.asarray(
-            np.pad(req, (0, n_rows_cap - len(sel)))))
+        req = np.array([len(tl) for tl in t_list], np.int64)
 
         row_members = [[i] for i in range(len(sel))]
-        self._pool_append(photons, ap_photons, ap_info, idx, instructions,
-                          base_time, truth, totals, row_members, 's1',
+        self._pool_append(photons, ap_photons, ap_h, idx, instructions,
+                          base_time, truth_h, req, row_members, 's1',
                           truth_sink)

@@ -61,14 +61,16 @@ _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
 
 
 class _Pulse(ty.NamedTuple):
-    """Host record of one simulated instruction-group's photons."""
+    """Host record of one simulated instruction-group's photons (a contiguous
+    slot range in the device photon arena)."""
     inst_idx: np.ndarray      # indices into the instruction array
-    pool_start: int
+    pool_start: int           # arena slot of first photon
     pool_count: int
     t_min: int                # abs ns (first photon)
     t_max: int                # abs ns (last photon)
     truth_key: int
     event_number: int
+    base_time: int            # abs ns base of the buffer's relative times
 
 
 class RawDataTPU:
@@ -171,38 +173,52 @@ class RawDataTPU:
             est = int(amps.sum() * max(sc, 1.0) * 1.4) + 256
         cap = _bucket(est)
         key = self._next_key()
-        for _attempt in range(6):
-            if kind == 's1':
-                photons, truth, totals = _sim_s1_jit(
-                    self.params, self.const, inst, key,
-                    capacity=cap, n_truth_rows=n_rows_cap)
-            else:
-                ecap = _bucket(int(amps.sum()) + 64, lo=256)
+        if kind == 's1':
+            # exact bound: a binomial draw can never exceed the quanta count,
+            # so no overflow check (and no device sync) is needed
+            cap = _bucket(int(amps.sum()) + 8)
+            photons, truth, totals = _sim_s1_jit(
+                self.params, self.const, inst, key,
+                capacity=cap, n_truth_rows=n_rows_cap)
+            truth_h = self._fetch_packed(dict(truth, _req=totals['req_counts']))
+            req = truth_h.pop('_req')[:len(idx)]
+        else:
+            ecap = _bucket(int(amps.sum()) + 64, lo=256)
+            for _attempt in range(6):
                 photons, truth, totals = _sim_s2_jit(
                     self.params, self.const, inst, key,
                     e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
-            need = int(totals['photons'])
-            if need <= cap:
-                break
-            cap = _bucket(max(need, cap * 2))
-        else:
-            raise RuntimeError('photon capacity runaway')
+                # the requested counts are computed independently of the slot
+                # capacity, so the overflow check rides the truth fetch
+                truth_h = self._fetch_packed(
+                    dict(truth, _req=totals['req_counts']))
+                req = truth_h.pop('_req')[:len(idx)]
+                need = int(req.sum())
+                if need <= cap:
+                    break
+                cap = _bucket(max(need, cap * 2))
+            else:
+                raise RuntimeError('photon capacity runaway')
 
         # PMT afterpulses ride along with their primary
         # (reference: rawdata.py:176-178)
-        ap_photons = ap_info = None
+        ap_photons = ap_h = None
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             ap_cap = _bucket(max(cap // 16, 256))
             ap_key = self._next_key()
-            ap_photons, ap_info = pmt_afterpulse_photons(
-                self.params, self.const, photons, ap_key,
-                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-            if int(ap_info['total']) > ap_cap:
+            for _attempt in range(6):
                 ap_photons, ap_info = pmt_afterpulse_photons(
                     self.params, self.const, photons, ap_key,
-                    ap_capacity=_bucket(int(ap_info['total'])),
-                    n_truth_rows=n_rows_cap)
+                    ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+                ap_h = self._fetch_packed(
+                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
+                                             'total')})
+                if int(ap_h['total']) <= ap_cap:
+                    break
+                ap_cap = _bucket(int(ap_h['total']))
+            else:
+                raise RuntimeError('afterpulse capacity runaway')
 
         # electron-afterpulse feedback: only true S2 pulses spawn them
         # (reference: rawdata.py:193-201)
@@ -211,8 +227,9 @@ class RawDataTPU:
                 or self.const.enable_gate_afterpulses):
             counts_d, tz_d = photon_summaries(
                 photons, self._next_key(), n_inst=n_rows_cap)
-            counts_h = np.asarray(counts_d)[:len(idx)]
-            tz_h = np.asarray(tz_d)[:len(idx)]
+            summ = self._fetch_packed(dict(counts=counts_d, tz=tz_d))
+            counts_h = summ['counts'][:len(idx)]
+            tz_h = summ['tz'][:len(idx)]
             src = instructions[idx]
             if self.const.enable_electron_afterpulses and \
                     getattr(self.resource, 'uniform_to_ele_ap', None) is not None:
@@ -223,23 +240,18 @@ class RawDataTPU:
                 gen_sink.append(generate_pe_el_instructions(
                     self.config, self.rng, counts_h, tz_h, src, base_time))
 
-        # ---- host pool append (range-based; no per-row scans) ----
-        self._pool_append(photons, ap_photons, ap_info, idx, instructions,
-                          base_time, truth, totals, row_members, kind,
+        # ---- arena registration (range-based; no per-row scans) ----
+        self._pool_append(photons, ap_photons, ap_h, idx, instructions,
+                          base_time, truth_h, req, row_members, kind,
                           truth_sink)
 
     def _append_buffer(self, photons, base_time):
-        """Fetch a photon buffer with ONE packed transfer and append it to the
-        pool; returns the pool offset of slot 0."""
-        packed = np.asarray(jnp.stack([
-            photons['t'].astype(jnp.int32),
-            photons['ch'].astype(jnp.int32),
-            jax.lax.bitcast_convert_type(photons['gain'], jnp.int32)]))
+        """Register a DEVICE photon buffer in the arena (no transfer).
+        Returns the arena slot of the buffer's slot 0."""
         start = self._pool_size
-        self._pool['t'].append(packed[0].astype(np.int64) + base_time)
-        self._pool['ch'].append(packed[1])
-        self._pool['gain'].append(packed[2].view(np.float32))
-        self._pool_size += packed.shape[1]
+        cap = int(photons['t'].shape[0])
+        self._buffers.append((photons, int(base_time)))
+        self._pool_size += cap
         return start
 
     @staticmethod
@@ -263,18 +275,14 @@ class RawDataTPU:
                 o += n
         return out
 
-    def _pool_append(self, photons, ap_photons, ap_info, idx, instructions,
-                     base_time, truth, totals, row_members, kind, truth_sink):
-        truth_h = self._fetch_packed(dict(truth, _req=totals['req_counts']))
-        req = truth_h.pop('_req')[:len(idx)]
+    def _pool_append(self, photons, ap_photons, ap_h, idx, instructions,
+                     base_time, truth_h, req, row_members, kind, truth_sink):
         off = np.concatenate([[0], np.cumsum(req)]).astype(np.int64)
 
         prim_start = self._append_buffer(photons, base_time)
 
         ap_start = None
         if ap_photons is not None:
-            ap_h = self._fetch_packed(
-                {k: ap_info[k] for k in ('counts', 't_min', 't_max')})
             ap_off = np.concatenate(
                 [[0], np.cumsum(ap_h['counts'])]).astype(np.int64)
             ap_start = self._append_buffer(ap_photons, base_time)
@@ -296,7 +304,8 @@ class RawDataTPU:
                     pool_start=prim_start + slot_lo, pool_count=cnt,
                     t_min=int(truth_h['photon_t_min'][r]) + base_time,
                     t_max=int(truth_h['photon_t_max'][r]) + base_time,
-                    truth_key=len(truth_sink) - 1, event_number=ev))
+                    truth_key=len(truth_sink) - 1, event_number=ev,
+                    base_time=base_time))
 
             if ap_start is not None and int(ap_h['counts'][r]) > 0:
                 self._pulses.append(_Pulse(
@@ -305,7 +314,7 @@ class RawDataTPU:
                     pool_count=int(ap_h['counts'][r]),
                     t_min=int(ap_h['t_min'][r]) + base_time,
                     t_max=int(ap_h['t_max'][r]) + base_time,
-                    truth_key=-1, event_number=ev))
+                    truth_key=-1, event_number=ev, base_time=base_time))
 
     def _assemble_truth_row(self, kind, truth_h, r, base_time, insts, n_primary):
         """Build one truth dict (reference: rawdata.py:313-375)."""
@@ -408,7 +417,7 @@ class RawDataTPU:
         dt = self.const.sample_duration
 
         self.source_finished = False
-        self._pool = dict(t=[], ch=[], gain=[])
+        self._buffers: ty.List[tuple] = []
         self._pool_size = 0
         self._pulses: ty.List[_Pulse] = []
         truth_rows: ty.List[dict] = []
@@ -489,10 +498,10 @@ class RawDataTPU:
 
     def _digitize_all(self, rext, dt):
         """Group pulses into windows, digitize in large batched device calls
-        with on-device record packing, and yield per-window record arrays in
-        time order."""
+        (gathering photons straight from the device arena) with on-device
+        record packing, and yield per-window record arrays in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
-        from .digitize import digitize_pack_windows
+        from .digitize import gather_digitize_pack
 
         if not self._pulses:
             return
@@ -504,9 +513,14 @@ class RawDataTPU:
                     + self.const.trigger_window)
 
         pulses = sorted(self._pulses, key=lambda p: p.t_min)
-        pool_t = np.concatenate(self._pool['t']) if self._pool['t'] else np.zeros(0, np.int64)
-        pool_ch = np.concatenate(self._pool['ch']) if self._pool['ch'] else np.zeros(0, np.int32)
-        pool_g = np.concatenate(self._pool['gain']) if self._pool['gain'] else np.zeros(0, np.float32)
+
+        # build the device photon arena (pure device-side concatenation)
+        arena_t = jnp.concatenate(
+            [b[0]['t'].astype(jnp.int32) for b in self._buffers])
+        arena_ch = jnp.concatenate(
+            [b[0]['ch'].astype(jnp.int32) for b in self._buffers])
+        arena_g = jnp.concatenate([b[0]['gain'] for b in self._buffers])
+        self._buffers.clear()
 
         groups: ty.List[ty.List[_Pulse]] = []
         cur = [pulses[0]]
@@ -531,50 +545,58 @@ class RawDataTPU:
             win_right = t_max // dt + margin_r
             T = int(win_right - win_left + 1)
             assert T < 1_000_000, 'Pulse cache too long'
-            sel = np.concatenate([
-                np.arange(p.pool_start, p.pool_start + p.pool_count)
-                for p in grp])
+            n_phot = sum(p.pool_count for p in grp)
             wins.append(dict(grp=grp, win_left=int(win_left),
                              win_right=int(win_right),
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
-                             sel=sel))
+                             n_phot=n_phot))
 
-        # bucket windows by (T_cap, N_cap) and digitize in batches
+        # bucket windows by (T_cap, N_cap, P_cap) and digitize in batches
         results = [None] * len(wins)
         buckets: ty.Dict[tuple, list] = {}
         for i, w in enumerate(wins):
-            n_cap = _bucket(len(w['sel']), lo=256)
-            buckets.setdefault((w['T_cap'], n_cap), []).append(i)
+            n_cap = _bucket(w['n_phot'], lo=256)
+            p_cap = _bucket(len(w['grp']), lo=2, hi=2 ** 14)
+            buckets.setdefault((w['T_cap'], n_cap, p_cap), []).append(i)
 
         spr = DEFAULT_RECORD_LENGTH
-        for (T_cap, n_cap), indices in buckets.items():
-            b_max = max(1, 2 ** 18 // T_cap)
+        for (T_cap, n_cap, p_cap), indices in buckets.items():
+            # batch size bounded by HBM: the phase histogram dominates at
+            # n_tpc_pmts * T * 10 * 4 bytes per window (plus the int grid)
+            bytes_per_win = (self.const.n_tpc_pmts * T_cap * 10 * 4 * 2
+                             + self.const.n_channels_total * T_cap * 8
+                             + n_cap * 16)
+            b_max = max(1, int(3e9) // bytes_per_win)
+            b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
-                B = len(batch)
-                packed = np.full((B, 3, n_cap), -1, np.int32)
+                # pad the batch dimension to a bucket so XLA compiles one
+                # program per (T, N, P, B) bucket, not per batch size
+                B = _bucket(len(batch), lo=1, hi=max(b_max, 1))
+                pieces = np.zeros((B, p_cap, 3), np.int32)
                 for bi, wi in enumerate(batch):
                     w = wins[wi]
-                    sel = w['sel']
-                    base_ns = w['win_left'] * dt
-                    n = len(sel)
-                    packed[bi, 0, :n] = (pool_t[sel] - base_ns).astype(np.int32)
-                    packed[bi, 1, :n] = pool_ch[sel]
-                    packed[bi, 2, :n] = pool_g[sel].view(np.int32)
+                    win_base = w['win_left'] * dt
+                    for pi, p in enumerate(w['grp']):
+                        pieces[bi, pi, 0] = p.pool_start
+                        pieces[bi, pi, 1] = p.pool_count
+                        pieces[bi, pi, 2] = p.base_time - win_base
 
                 max_records = 4096
                 while True:
-                    res = digitize_pack_windows(
-                        self.params, self.const, jnp.asarray(packed),
-                        self._next_key(), n_samples=T_cap,
+                    res = gather_digitize_pack(
+                        self.params, self.const, arena_t, arena_ch, arena_g,
+                        jnp.asarray(pieces), self._next_key(),
+                        n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
                         max_intervals=int(self.config.get('zle_max_intervals', 64)),
                         max_records=max_records)
-                    n_rec = int(res['n_records'])
+                    meta_full = np.asarray(res['rec_meta'])
+                    n_rec = int(meta_full[-1, 0])
                     if n_rec <= max_records:
                         break
                     max_records = _bucket(n_rec, lo=4096)
 
-                meta = np.asarray(res['rec_meta'])[:n_rec]
+                meta = meta_full[:n_rec]
                 rdata = np.asarray(res['rec_data'])[:n_rec]
                 # split records by window (meta col 0 ascending by design)
                 for bi, wi in enumerate(batch):
