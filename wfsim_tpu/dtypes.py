@@ -140,11 +140,12 @@ def raw_record_dtype(samples_per_record: int = DEFAULT_RECORD_LENGTH):
 
 
 def sort_by_time(records: np.ndarray) -> np.ndarray:
-    """Stable sort of structured records by (time, channel) like strax does."""
+    """Stable sort of structured records by (time, channel) like strax does.
+    Single lexsort + single gather (structured-array copies are expensive)."""
     if len(records) == 0:
         return records
     if 'channel' in records.dtype.names:
-        order = np.argsort(records['channel'], kind='stable')
-        records = records[order]
-    order = np.argsort(records['time'], kind='stable')
+        order = np.lexsort((records['channel'], records['time']))
+    else:
+        order = np.argsort(records['time'], kind='stable')
     return records[order]

@@ -39,11 +39,10 @@ class RawDataOpticalTPU(RawDataTPU):
         self.channels = np.asarray(channels, dtype=np.int32)
         self.timings = np.asarray(timings, dtype=np.int64)
 
-    def _simulate_type_batch(self, instructions, idx, kind, truth_sink,
-                             gen_sink=None):
+    def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
         if kind != 's1':
-            return super()._simulate_type_batch(instructions, idx, kind,
-                                                truth_sink, gen_sink)
+            return super()._dispatch_type_batch(instructions, idx, kind,
+                                                want_gen)
         # Optical primary: photon list from file (reference rawdata.py:475-493)
         sel = instructions[idx]
         base_time = int(np.min(sel['time']))
@@ -79,30 +78,27 @@ class RawDataOpticalTPU(RawDataTPU):
             jnp.asarray(vv), jnp.asarray(rr), self._next_key(),
             n_truth_rows=n_rows_cap)
 
-        truth_h = self._fetch_packed(truth)
+        # per-instruction slot layout: photons were packed contiguously per
+        # instruction on the host above
+        req = np.array([len(tl) for tl in t_list], np.int64)
 
-        ap_photons = ap_h = None
+        job = dict(kind='s1', idx=idx, base_time=base_time,
+                   row_members=[[i] for i in range(len(sel))],
+                   n_rows_cap=n_rows_cap, inst=None, key=None,
+                   cap=cap, ecap=0, photons=photons,
+                   truth_pack=self._pack_device(
+                       dict(truth, _req=jnp.asarray(req.astype(np.int32)))))
+
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             from ..models.afterpulse import pmt_afterpulse_photons
             ap_cap = _bucket(max(cap // 16, 256))
             ap_key = self._next_key()
-            for _attempt in range(6):
-                ap_photons, ap_info = pmt_afterpulse_photons(
-                    self.params, self.const, photons, ap_key,
-                    ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-                ap_h = self._fetch_packed(
-                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
-                                             'total')})
-                if int(ap_h['total']) <= ap_cap:
-                    break
-                ap_cap = _bucket(int(ap_h['total']))
-
-        # per-instruction slot layout: photons were packed contiguously per
-        # instruction on the host above
-        req = np.array([len(tl) for tl in t_list], np.int64)
-
-        row_members = [[i] for i in range(len(sel))]
-        self._pool_append(photons, ap_photons, ap_h, idx, instructions,
-                          base_time, truth_h, req, row_members, 's1',
-                          truth_sink)
+            ap_photons, ap_info = pmt_afterpulse_photons(
+                self.params, self.const, photons, ap_key,
+                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+            job.update(ap_photons=ap_photons, ap_key=ap_key, ap_cap=ap_cap,
+                       ap_pack=self._pack_device(
+                           {k: ap_info[k] for k in ('counts', 't_min',
+                                                    't_max', 'total')}))
+        return job

@@ -141,12 +141,11 @@ class RawDataTPU:
         out['truth_row'] = pad(truth_rows, np.int32)
         return out, icap
 
-    def _simulate_type_batch(self, instructions, idx, kind, truth_sink,
-                             gen_sink=None):
-        """Simulate one padded batch of same-chain instructions; append
-        photons to the host pool and truth summaries to the sink."""
-        if len(idx) == 0:
-            return
+    def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
+        """Launch all device work for one padded batch of same-chain
+        instructions and return a job handle.  Nothing here blocks on the
+        device, so compute for many batches pipelines; the results are
+        collected later by :meth:`_finalize_type_batch`."""
         base_time = int(np.min(instructions['time'][idx]))
         # truth rows: one per instruction for s1/s2; one shared row per batch
         # for afterpulse types (reference groups them, rawdata.py:124-125)
@@ -162,72 +161,110 @@ class RawDataTPU:
 
         inst, icap = self._make_inst_batch(instructions, idx, base_time,
                                            truth_rows, n_rows_cap)
-
-        # photon capacity estimation with retry-on-overflow
         amps = instructions['amp'][idx].astype(np.float64)
-        if kind == 's1':
-            est = int(amps.sum()) + 64
-        else:
-            sc = (self.config['s2_secondary_sc_gain']
-                  / (1 + self.config['p_double_pe_emision']))
-            est = int(amps.sum() * max(sc, 1.0) * 1.4) + 256
-        cap = _bucket(est)
         key = self._next_key()
         if kind == 's1':
             # exact bound: a binomial draw can never exceed the quanta count,
-            # so no overflow check (and no device sync) is needed
+            # so no overflow retry is ever needed
             cap = _bucket(int(amps.sum()) + 8)
             photons, truth, totals = _sim_s1_jit(
                 self.params, self.const, inst, key,
                 capacity=cap, n_truth_rows=n_rows_cap)
-            truth_h = self._fetch_packed(dict(truth, _req=totals['req_counts']))
-            req = truth_h.pop('_req')[:len(idx)]
         else:
+            sc = (self.config['s2_secondary_sc_gain']
+                  / (1 + self.config['p_double_pe_emision']))
+            cap = _bucket(int(amps.sum() * max(sc, 1.0) * 1.4) + 256)
             ecap = _bucket(int(amps.sum()) + 64, lo=256)
-            for _attempt in range(6):
-                photons, truth, totals = _sim_s2_jit(
-                    self.params, self.const, inst, key,
-                    e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
-                # the requested counts are computed independently of the slot
-                # capacity, so the overflow check rides the truth fetch
-                truth_h = self._fetch_packed(
-                    dict(truth, _req=totals['req_counts']))
-                req = truth_h.pop('_req')[:len(idx)]
-                need = int(req.sum())
-                if need <= cap:
-                    break
-                cap = _bucket(max(need, cap * 2))
-            else:
-                raise RuntimeError('photon capacity runaway')
+            photons, truth, totals = _sim_s2_jit(
+                self.params, self.const, inst, key,
+                e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
 
-        # PMT afterpulses ride along with their primary
-        # (reference: rawdata.py:176-178)
-        ap_photons = ap_h = None
+        job = dict(kind=kind, idx=idx, base_time=base_time,
+                   row_members=row_members, n_rows_cap=n_rows_cap,
+                   inst=inst, key=key, cap=cap,
+                   ecap=ecap if kind != 's1' else 0,
+                   photons=photons,
+                   truth_pack=self._pack_device(
+                       dict(truth, _req=totals['req_counts'])))
+
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
             ap_cap = _bucket(max(cap // 16, 256))
             ap_key = self._next_key()
+            ap_photons, ap_info = pmt_afterpulse_photons(
+                self.params, self.const, photons, ap_key,
+                ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+            job.update(ap_photons=ap_photons, ap_key=ap_key, ap_cap=ap_cap,
+                       ap_pack=self._pack_device(
+                           {k: ap_info[k] for k in ('counts', 't_min',
+                                                    't_max', 'total')}))
+
+        if want_gen and kind == 's2' and (
+                self.const.enable_electron_afterpulses
+                or self.const.enable_gate_afterpulses):
+            counts_d, tz_d = photon_summaries(
+                photons, self._next_key(), n_inst=n_rows_cap)
+            job['summ_pack'] = self._pack_device(dict(counts=counts_d, tz=tz_d))
+        return job
+
+    def _finalize_type_batch(self, job, instructions, truth_sink, gen_sink):
+        """Collect one dispatched batch: fetch packed summaries (blocking, but
+        the device compute was already queued), handle rare capacity
+        overflows, register photons in the arena and emit truth rows."""
+        kind, idx = job['kind'], job['idx']
+        base_time = job['base_time']
+        n_rows_cap = job['n_rows_cap']
+        photons = job['photons']
+
+        truth_h = self._unpack_host(*job['truth_pack'])
+        req = truth_h.pop('_req')[:len(idx)]
+
+        if kind != 's1':
+            cap = job['cap']
             for _attempt in range(6):
-                ap_photons, ap_info = pmt_afterpulse_photons(
-                    self.params, self.const, photons, ap_key,
-                    ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-                ap_h = self._fetch_packed(
-                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
-                                             'total')})
+                if int(req.sum()) <= cap:
+                    break
+                cap = _bucket(max(int(req.sum()), cap * 2))
+                photons, truth, totals = _sim_s2_jit(
+                    self.params, self.const, job['inst'], job['key'],
+                    e_capacity=job['ecap'], capacity=cap,
+                    n_truth_rows=n_rows_cap)
+                truth_h = self._unpack_host(*self._pack_device(
+                    dict(truth, _req=totals['req_counts'])))
+                req = truth_h.pop('_req')[:len(idx)]
+                if 'ap_photons' in job:
+                    ap_photons, ap_info = pmt_afterpulse_photons(
+                        self.params, self.const, photons, job['ap_key'],
+                        ap_capacity=job['ap_cap'], n_truth_rows=n_rows_cap)
+                    job['ap_photons'] = ap_photons
+                    job['ap_pack'] = self._pack_device(
+                        {k: ap_info[k] for k in ('counts', 't_min', 't_max',
+                                                 'total')})
+            else:
+                raise RuntimeError('photon capacity runaway')
+
+        ap_photons = ap_h = None
+        if 'ap_photons' in job:
+            ap_photons = job['ap_photons']
+            ap_h = self._unpack_host(*job['ap_pack'])
+            ap_cap = job['ap_cap']
+            for _attempt in range(6):
                 if int(ap_h['total']) <= ap_cap:
                     break
                 ap_cap = _bucket(int(ap_h['total']))
+                ap_photons, ap_info = pmt_afterpulse_photons(
+                    self.params, self.const, photons, job['ap_key'],
+                    ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
+                ap_h = self._unpack_host(*self._pack_device(
+                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
+                                             'total')}))
             else:
                 raise RuntimeError('afterpulse capacity runaway')
 
         # electron-afterpulse feedback: only true S2 pulses spawn them
         # (reference: rawdata.py:193-201)
-        if gen_sink is not None and kind == 's2' and (
-                self.const.enable_electron_afterpulses
-                or self.const.enable_gate_afterpulses):
-            counts_d, tz_d = photon_summaries(
-                photons, self._next_key(), n_inst=n_rows_cap)
-            summ = self._fetch_packed(dict(counts=counts_d, tz=tz_d))
+        if gen_sink is not None and 'summ_pack' in job:
+            summ = self._unpack_host(*job['summ_pack'])
             counts_h = summ['counts'][:len(idx)]
             tz_h = summ['tz'][:len(idx)]
             src = instructions[idx]
@@ -242,7 +279,7 @@ class RawDataTPU:
 
         # ---- arena registration (range-based; no per-row scans) ----
         self._pool_append(photons, ap_photons, ap_h, idx, instructions,
-                          base_time, truth_h, req, row_members, kind,
+                          base_time, truth_h, req, job['row_members'], kind,
                           truth_sink)
 
     def _append_buffer(self, photons, base_time):
@@ -255,25 +292,40 @@ class RawDataTPU:
         return start
 
     @staticmethod
-    def _fetch_packed(tree):
-        """device_get a dict of arrays with two transfers (int32 + float32)."""
+    def _pack_device(tree):
+        """Concatenate a dict of device arrays into at most two flat device
+        arrays (int32 + float32) so fetching costs two transfers, not one per
+        field.  Returns (groups, spec); nothing blocks."""
         items = sorted(tree.items())
         ints = [(k, v) for k, v in items
                 if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool]
         flts = [(k, v) for k, v in items
                 if not (jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool)]
-        out = {}
-        for group, dt in ((ints, np.int32), (flts, np.float32)):
+        groups, spec = {}, {}
+        for name, group, dt in (('i', ints, jnp.int32), ('f', flts, jnp.float32)):
             if not group:
                 continue
-            flat = jnp.concatenate([jnp.ravel(v).astype(dt) for _, v in group])
-            host = np.asarray(flat)
+            groups[name] = jnp.concatenate(
+                [jnp.ravel(v).astype(dt) for _, v in group])
+            spec[name] = [(k, v.shape) for k, v in group]
+        return groups, spec
+
+    @staticmethod
+    def _unpack_host(groups, spec):
+        """Blocking fetch + unpack of a _pack_device result."""
+        out = {}
+        for name, fields in spec.items():
+            host = np.asarray(groups[name])
             o = 0
-            for k, v in group:
-                n = int(np.prod(v.shape))
-                out[k] = host[o:o + n].reshape(v.shape)
+            for k, shape in fields:
+                n = int(np.prod(shape))
+                out[k] = host[o:o + n].reshape(shape)
                 o += n
         return out
+
+    def _fetch_packed(self, tree):
+        """device_get a dict of arrays with at most two transfers."""
+        return self._unpack_host(*self._pack_device(tree))
 
     def _pool_append(self, photons, ap_photons, ap_h, idx, instructions,
                      base_time, truth_h, req, row_members, kind, truth_sink):
@@ -462,6 +514,9 @@ class RawDataTPU:
                 continue
             batches[k].append(i)
 
+        # phase 1: dispatch every batch (device work pipelines);
+        # phase 2: finalize in order (fetches overlap remaining compute)
+        jobs = []
         for kind, idxs in batches.items():
             if not idxs:
                 continue
@@ -474,16 +529,19 @@ class RawDataTPU:
                 if cur and (len(cur) >= MAX_BATCH_INST
                             or cur_amp + amps[j] > limit
                             or t0[j] - cur_t0 > MAX_SPAN_NS):
-                    self._simulate_type_batch(instructions, np.asarray(cur),
-                                              kind, truth_rows, gen_sink)
+                    jobs.append(self._dispatch_type_batch(
+                        instructions, np.asarray(cur), kind,
+                        gen_sink is not None))
                     cur, cur_amp, cur_t0 = [], 0.0, None
                 if cur_t0 is None:
                     cur_t0 = t0[j]
                 cur.append(i)
                 cur_amp += amps[j]
             if cur:
-                self._simulate_type_batch(instructions, np.asarray(cur), kind,
-                                          truth_rows, gen_sink)
+                jobs.append(self._dispatch_type_batch(
+                    instructions, np.asarray(cur), kind, gen_sink is not None))
+        for job in jobs:
+            self._finalize_type_batch(job, instructions, truth_rows, gen_sink)
 
     def _drain_truth(self, truth_buffer, truth_rows):
         if isinstance(truth_buffer, list):
@@ -560,6 +618,27 @@ class RawDataTPU:
             buckets.setdefault((w['T_cap'], n_cap, p_cap), []).append(i)
 
         spr = DEFAULT_RECORD_LENGTH
+        max_itv = int(self.config.get('zle_max_intervals', 64))
+
+        def dispatch(batch, T_cap, n_cap, p_cap, max_records):
+            B = _bucket(len(batch), lo=1, hi=2 ** 30)
+            pieces = np.zeros((B, p_cap, 3), np.int32)
+            for bi, wi in enumerate(batch):
+                w = wins[wi]
+                win_base = w['win_left'] * dt
+                for pi, p in enumerate(w['grp']):
+                    pieces[bi, pi, 0] = p.pool_start
+                    pieces[bi, pi, 1] = p.pool_count
+                    pieces[bi, pi, 2] = p.base_time - win_base
+            res = gather_digitize_pack(
+                self.params, self.const, arena_t, arena_ch, arena_g,
+                jnp.asarray(pieces), self._next_key(),
+                n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
+                max_intervals=max_itv, max_records=max_records)
+            return res
+
+        # phase 1: dispatch every digitize batch (compute pipelines)
+        calls = []
         for (T_cap, n_cap, p_cap), indices in buckets.items():
             # batch size bounded by HBM: the phase histogram dominates at
             # n_tpc_pmts * T * 10 * 4 bytes per window (plus the int grid)
@@ -570,48 +649,36 @@ class RawDataTPU:
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
-                # pad the batch dimension to a bucket so XLA compiles one
-                # program per (T, N, P, B) bucket, not per batch size
-                B = _bucket(len(batch), lo=1, hi=max(b_max, 1))
-                pieces = np.zeros((B, p_cap, 3), np.int32)
-                for bi, wi in enumerate(batch):
-                    w = wins[wi]
-                    win_base = w['win_left'] * dt
-                    for pi, p in enumerate(w['grp']):
-                        pieces[bi, pi, 0] = p.pool_start
-                        pieces[bi, pi, 1] = p.pool_count
-                        pieces[bi, pi, 2] = p.base_time - win_base
+                res = dispatch(batch, T_cap, n_cap, p_cap, 4096)
+                calls.append((batch, T_cap, n_cap, p_cap, res))
 
-                max_records = 4096
-                while True:
-                    res = gather_digitize_pack(
-                        self.params, self.const, arena_t, arena_ch, arena_g,
-                        jnp.asarray(pieces), self._next_key(),
-                        n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
-                        max_intervals=int(self.config.get('zle_max_intervals', 64)),
-                        max_records=max_records)
-                    meta_full = np.asarray(res['rec_meta'])
-                    n_rec = int(meta_full[-1, 0])
-                    if n_rec <= max_records:
-                        break
-                    max_records = _bucket(n_rec, lo=4096)
+        # phase 2: fetch, retry rare record overflows, split per window
+        for batch, T_cap, n_cap, p_cap, res in calls:
+            max_records = 4096
+            while True:
+                meta_full = np.asarray(res['rec_meta'])
+                n_rec = int(meta_full[-1, 0])
+                if n_rec <= max_records:
+                    break
+                max_records = _bucket(n_rec, lo=4096)
+                res = dispatch(batch, T_cap, n_cap, p_cap, max_records)
 
-                meta = meta_full[:n_rec]
-                rdata = np.asarray(res['rec_data'])[:n_rec]
-                # split records by window (meta col 0 ascending by design)
-                for bi, wi in enumerate(batch):
-                    m = meta[:, 0] == bi
-                    sub = meta[m]
-                    recs = np.zeros(len(sub), dtype=raw_record_dtype(spr))
-                    recs['time'] = ((np.int64(wins[wi]['win_left'])
-                                     + sub[:, 2].astype(np.int64)) * dt)
-                    recs['channel'] = sub[:, 1]
-                    recs['dt'] = dt
-                    recs['length'] = sub[:, 3]
-                    recs['pulse_length'] = sub[:, 4]
-                    recs['record_i'] = sub[:, 5]
-                    recs['data'] = rdata[m]
-                    results[wi] = recs
+            meta = meta_full[:n_rec]
+            rdata = np.asarray(res['rec_data'])[:n_rec]
+            # split records by window (meta col 0 ascending by design)
+            bounds = np.searchsorted(meta[:, 0], np.arange(len(batch) + 1))
+            for bi, wi in enumerate(batch):
+                sub = meta[bounds[bi]:bounds[bi + 1]]
+                recs = np.zeros(len(sub), dtype=raw_record_dtype(spr))
+                recs['time'] = ((np.int64(wins[wi]['win_left'])
+                                 + sub[:, 2].astype(np.int64)) * dt)
+                recs['channel'] = sub[:, 1]
+                recs['dt'] = dt
+                recs['length'] = sub[:, 3]
+                recs['pulse_length'] = sub[:, 4]
+                recs['record_i'] = sub[:, 5]
+                recs['data'] = rdata[bounds[bi]:bounds[bi + 1]]
+                results[wi] = recs
 
         for wi, w in enumerate(wins):
             self.left = w['win_left']
