@@ -270,11 +270,57 @@ def luminescence_garfield_gasgap(params, const, key, xy, ph_inst, ph_valid,
 # Channels
 
 
-def s2_photon_channels(params, const, key, xy_obs, ph_inst, ph_valid):
+def s2_pattern_map_diffuse(params, const, key, n_electron_like, z, xy,
+                           e_inst, e_valid):
+    """Per-interaction pattern averaged over transverse-diffused electron
+    positions (reference: s2.py:559-613).
+
+    Each (padded) electron gets a radial/azimuthal Gaussian displacement
+    scaled by sqrt(drift time); patterns are looked up per electron and
+    averaged per instruction.
+    """
+    k1, k2 = jax.random.split(key)
+    v = get_avg_drift_velocity(params, const, z, xy)
+    if const.en_diff_trans and params.diffusion_radial_map is not None:
+        d_rad = rz_lookup(params.diffusion_radial_map, z, xy) * 1e-9
+        d_azi = rz_lookup(params.diffusion_azimuthal_map, z, xy) * 1e-9
+        if d_rad.ndim > 1:
+            d_rad, d_azi = d_rad[..., 0], d_azi[..., 0]
+    else:
+        d_rad = d_azi = jnp.full_like(z, const.diffusion_constant_transverse)
+    drift_time_mean = -z / v
+    std_r = jnp.sqrt(2 * d_rad * jnp.maximum(drift_time_mean, 0.0))
+    std_a = jnp.sqrt(2 * d_azi * jnp.maximum(drift_time_mean, 0.0))
+
+    E = e_inst.shape[0]
+    hr = jax.random.normal(k1, (E,)) * std_r[e_inst]
+    ha = jax.random.normal(k2, (E,)) * std_a[e_inst]
+    theta = jnp.arctan2(xy[:, 1], xy[:, 0])[e_inst]
+    dx = hr * jnp.cos(theta) - ha * jnp.sin(theta)
+    dy = hr * jnp.sin(theta) + ha * jnp.cos(theta)
+    xy_e = xy[e_inst] + jnp.stack([dx, dy], axis=1)
+    inside = (jnp.sum(xy_e ** 2, axis=1) <= const.tpc_radius ** 2) & e_valid
+
+    pat_e = params.s2_pattern(xy_e)                      # (E, C)
+    if pat_e.ndim == 1:
+        pat_e = pat_e[:, None] * jnp.ones((1, params.gains.shape[0]))
+    w = inside.astype(pat_e.dtype)
+    n_inst = xy.shape[0]
+    num = jnp.zeros((n_inst, pat_e.shape[1]), pat_e.dtype).at[e_inst].add(
+        pat_e * w[:, None])
+    den = jnp.zeros(n_inst, pat_e.dtype).at[e_inst].add(w)
+    return num / jnp.maximum(den, 1.0)[:, None]
+
+
+def s2_photon_channels(params, const, key, xy_obs, ph_inst, ph_valid,
+                       pattern_override=None):
     """Channel assignment from the S2 pattern map with optional skew-normal
     AFT smearing (reference: s2.py:615-682)."""
     k_aft, k_ch = jax.random.split(key)
-    pattern = params.s2_pattern(xy_obs)
+    if pattern_override is not None:
+        pattern = pattern_override
+    else:
+        pattern = params.s2_pattern(xy_obs)
     if pattern.ndim == 1:
         pattern = pattern[:, None] * jnp.ones((1, params.gains.shape[0]))
     pattern = pattern * params.live_mask[None, :].astype(pattern.dtype)
@@ -345,7 +391,17 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     ph_e, ph_valid, total_ph = segment_ids_from_counts(n_ph_per_e, capacity)
     ph_inst = e_inst[ph_e]
 
-    ch = s2_photon_channels(params, const, keys[5], positions, ph_inst, ph_valid)
+    # diffusion-smeared per-electron pattern averaging
+    # (reference: s2.py:637-640 gates on diffusion_constant_transverse > 0)
+    pattern_override = None
+    if const.diffusion_constant_transverse > 0 or const.en_diff_trans:
+        k_diff, _ = jax.random.split(keys[5])
+        pattern_override = s2_pattern_map_diffuse(
+            params, const, k_diff, n_electron, z_obs, positions,
+            e_inst, e_valid)
+
+    ch = s2_photon_channels(params, const, keys[5], positions, ph_inst,
+                            ph_valid, pattern_override=pattern_override)
     ph_valid = ph_valid & (ch >= 0)
 
     # Photon timing: luminescence + gas excimer + optical/spread + electron

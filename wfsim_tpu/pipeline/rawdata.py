@@ -41,6 +41,7 @@ from ..models.afterpulse import (
     pmt_afterpulse_photons, photon_summaries,
     generate_pi_el_instructions, generate_pe_el_instructions)
 from .digitize import digitize_window
+from ..diagnostics import Timers
 
 log = logging.getLogger('wfsim_tpu.core')
 
@@ -89,6 +90,7 @@ class RawDataTPU:
         self._key_ctr = 0
         self.source_finished = False
         self.last_pulse_end_time = -np.inf
+        self.diag = Timers()
         self._validate_model_types()
 
     # -- utilities ---------------------------------------------------------
@@ -482,7 +484,8 @@ class RawDataTPU:
 
         # --- simulate primaries in arrival-ordered batches per chain ---
         gen_sink: ty.List[np.ndarray] = []
-        self._run_generation(instructions, order, truth_rows, gen_sink)
+        with self.diag.phase('simulate'):
+            self._run_generation(instructions, order, truth_rows, gen_sink)
 
         # --- electron-afterpulse generation (one feedback step) ---
         if gen_sink:
@@ -490,13 +493,16 @@ class RawDataTPU:
             if len(secondaries):
                 arr2 = self._arrival_times(secondaries)
                 order2 = np.argsort(arr2, kind='stable')
-                self._run_generation(secondaries, order2, truth_rows, None)
+                with self.diag.phase('simulate_afterpulses'):
+                    self._run_generation(secondaries, order2, truth_rows,
+                                         None)
 
         # --- truth out ---
         self._drain_truth(truth_buffer, truth_rows)
 
         # --- digitization windows (flush-on-gap, reference rawdata.py:96-98) ---
-        yield from self._digitize_all(rext, dt)
+        with self.diag.phase('digitize'):
+            yield from self._digitize_all(rext, dt)
         self.source_finished = True
 
     def _run_generation(self, instructions, order, truth_rows, gen_sink):
@@ -652,6 +658,8 @@ class RawDataTPU:
                 res = dispatch(batch, T_cap, n_cap, p_cap, 4096)
                 calls.append((batch, T_cap, n_cap, p_cap, res))
 
+        self.diag.add('windows', len(wins))
+        self.diag.add('photons', sum(p.pool_count for p in pulses))
         # phase 2: fetch, retry rare record overflows, split per window
         for batch, T_cap, n_cap, p_cap, res in calls:
             max_records = 4096
@@ -679,6 +687,7 @@ class RawDataTPU:
                 recs['record_i'] = sub[:, 5]
                 recs['data'] = rdata[bounds[bi]:bounds[bi + 1]]
                 results[wi] = recs
+                self.diag.add('records', len(recs))
 
         for wi, w in enumerate(wins):
             self.left = w['win_left']
