@@ -138,3 +138,29 @@ def test_repeat_to_capacity():
                                   [10., 10., 30., 30., 30.])
     np.testing.assert_array_equal(np.asarray(seg)[np.asarray(valid)],
                                   [0, 0, 2, 2, 2])
+
+
+@pytest.mark.parametrize('seed', list(range(4)))
+def test_zle_block_extraction_path(seed):
+    """T divisible by 64 and holdoff >= 63 exercises the block-compressed
+    start/end extraction (the production configuration)."""
+    rng = np.random.default_rng(seed)
+    T, C = 512, 6
+    holdoff = 101
+    data = np.full((C, T), 16000, np.int32)
+    # plant dips with assorted spacings
+    for c in range(C):
+        for _ in range(rng.integers(1, 5)):
+            lo = int(rng.integers(0, T - 30))
+            data[c, lo:lo + int(rng.integers(1, 25))] = 100
+    thresholds = np.full(C, 15984, np.int32)
+    starts, ends, counts = find_intervals(
+        jnp.asarray(data < thresholds[:, None]), holdoff=holdoff,
+        max_intervals=16)
+    for c in range(C):
+        ref = intervals_below_threshold(data[c], thresholds[c], holdoff)
+        n = int(counts[c])
+        assert n == len(ref), (c, n, ref)
+        got = list(zip(np.asarray(starts[c][:n]).tolist(),
+                       np.asarray(ends[c][:n]).tolist()))
+        assert got == ref

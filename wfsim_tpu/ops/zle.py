@@ -37,28 +37,51 @@ def find_intervals(below: jnp.ndarray, *, holdoff: int, max_intervals: int):
     """
     C, T = below.shape
     idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    below_idx = jnp.where(below, idx, -_BIG)
-    # Most recent below-threshold sample strictly before i
-    prev_below = jnp.concatenate([
-        jnp.full((C, 1), -_BIG, dtype=jnp.int32),
-        jax.lax.cummax(below_idx, axis=1)[:, :-1]], axis=1)
-    # Next below-threshold sample strictly after i
-    next_idx = jnp.where(below, idx, _BIG)
-    next_below = jnp.concatenate([
-        jnp.flip(jax.lax.cummin(jnp.flip(next_idx, 1), axis=1), 1)[:, 1:],
-        jnp.full((C, 1), _BIG, dtype=jnp.int32)], axis=1)
-    # Interval start: previous below sample > holdoff back
-    # (reference close rule: utils.py:44-45); end: next below > holdoff ahead
-    new_start = below & ((idx - prev_below) > holdoff)
-    is_end = below & ((next_below - idx) > holdoff)
+    # any below-threshold sample within `holdoff` strictly before / after i —
+    # a single sliding-window max each (cheaper than log-depth scans on TPU)
+    b8 = below.astype(jnp.int8)
+    prev_any = jax.lax.reduce_window(
+        b8, jnp.int8(0), jax.lax.max, window_dimensions=(1, holdoff),
+        window_strides=(1, 1), padding=((0, 0), (holdoff, -1))) > 0
+    next_any = jax.lax.reduce_window(
+        b8, jnp.int8(0), jax.lax.max, window_dimensions=(1, holdoff),
+        window_strides=(1, 1), padding=((0, 0), (-1, holdoff))) > 0
+    # Interval start: no below sample within holdoff before
+    # (reference close rule: utils.py:44-45); end: none within holdoff after
+    new_start = below & ~prev_any
+    is_end = below & ~next_any
 
-    # Extract the first K starts/ends per channel in ascending sample order
-    def first_k(mask):
-        vals, _ = jax.lax.top_k(jnp.where(mask, T - idx, 0), max_intervals)
-        return jnp.where(vals > 0, T - vals, _BIG)
+    # Extract the first K starts/ends per channel in ascending sample order.
+    # Consecutive starts (and ends) are at least holdoff+1 samples apart, so
+    # a block of S <= holdoff+1 samples holds at most one marker: compress to
+    # one candidate per block, then a tiny per-row sort compacts them —
+    # avoiding a full-width top_k (which lowers to an expensive sort on TPU).
+    S = 64
+    if holdoff + 1 >= S and T % S == 0:
+        nb = T // S
+        pos = jax.lax.broadcasted_iota(jnp.int32, (C, nb, S), 2)
 
-    starts = first_k(new_start)
-    ends = first_k(is_end)
+        def first_k(mask):
+            m = mask.reshape(C, nb, S)
+            cand = jnp.min(jnp.where(m, pos, _BIG), axis=2)
+            cand = jnp.where(cand < _BIG,
+                             cand + jnp.arange(nb, dtype=jnp.int32)[None, :] * S,
+                             _BIG)
+            cand = jnp.sort(cand, axis=1)
+            if nb >= max_intervals:
+                return cand[:, :max_intervals]
+            return jnp.pad(cand, ((0, 0), (0, max_intervals - nb)),
+                           constant_values=_BIG)
+
+        starts = first_k(new_start)
+        ends = first_k(is_end)
+    else:
+        def first_k(mask):
+            vals, _ = jax.lax.top_k(jnp.where(mask, T - idx, 0), max_intervals)
+            return jnp.where(vals > 0, T - vals, _BIG)
+
+        starts = first_k(new_start)
+        ends = first_k(is_end)
     counts = jnp.minimum(new_start.sum(axis=1), max_intervals)
     ends = jnp.where(ends >= _BIG, -_BIG, ends)
     return starts, ends, counts

@@ -187,11 +187,25 @@ def _digitize_one(params, const, t, ch, gain, valid, key,
     data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
     data = jnp.where(in_win, jnp.maximum(data, 0), data)
 
+    # without noise and with the (reference-faithful) zeroed HE deamp factor,
+    # only the TPC rows can ever cross threshold — skip the rest in ZLE
+    zle_rows = C_all
+    if not const.enable_noise and const.high_energy_deamp_int == 0:
+        zle_rows = C
+
     holdoff = 2 * const.trigger_window + 1
     starts, ends, counts = zle_all_channels(
-        data, params.zle_thresholds, left_all, right_all, mask,
+        data[:zle_rows], params.zle_thresholds[:zle_rows],
+        left_all[:zle_rows], right_all[:zle_rows], mask[:zle_rows],
         holdoff=holdoff, trigger_window=const.trigger_window,
         max_intervals=max_intervals)
+    if zle_rows < C_all:
+        pad = C_all - zle_rows
+        starts = jnp.concatenate([starts, jnp.zeros((pad, max_intervals),
+                                                    jnp.int32)])
+        ends = jnp.concatenate([ends, jnp.zeros((pad, max_intervals),
+                                                jnp.int32)])
+        counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
     return (data.astype(jnp.int16), mask, left_all, right_all,
             starts, ends, counts)
 
@@ -289,55 +303,167 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
     """Device-resident production path: gather each window's photons straight
     from the on-device photon arena, then digitize + pack records.
 
-    Avoids the host round-trip of photon buffers entirely — the only
-    host->device traffic is the tiny piece table, and the only device->host
-    traffic is the packed records (the TPU tunnel has ~200 ms/transfer
-    latency and ~30 MB/s bandwidth, so this is the difference between being
-    transfer-bound and compute-bound).
+    Natively batched: the window batch is flattened into the channel axis
+    (window w, channel c -> row w*C + c), so the photon scatter, template
+    convolution, channel-extent reduction and ZLE all run as single wide
+    kernels — no vmap, whose lowering of scatters was measured ~15x slower.
+
+    Host traffic: the tiny piece table in, packed records out (the TPU tunnel
+    has ~200 ms/transfer latency, so nothing else crosses it).
 
     :param arena_t/ch/gain: (A,) photon arena (concatenated sim buffers);
         times are int32 ns relative to each buffer's base
-    :param pieces: (B, n_pieces, 3) int32 [arena_lo, count, t_offset] —
-        t_offset rebases buffer-relative times to window-relative ones;
+    :param pieces: (B, n_pieces, 3) int32 [arena_lo, count, t_offset];
         count==0 marks padding pieces
-    :returns: as digitize_pack_windows, with rec_meta carrying one extra row
-        whose first element is the true total record count (so no separate
-        scalar sync is needed).
+    :returns: rec_data (max_records, spr) int16 and rec_meta
+        (max_records+1, 6) int32 [window, channel, left_rel, length,
+        pulse_length, record_i]; the trailer row's first element is the true
+        total record count (no separate scalar sync needed).
     """
     B = pieces.shape[0]
     spr = SAMPLES_PER_RECORD
     T = n_samples
+    dt = const.sample_duration
+    C = const.n_tpc_pmts
     C_all = const.n_channels_total
-    keys = jax.random.split(key, B)
 
-    def gather_one(pc):
-        lo = pc[:, 0]
-        cnt = pc[:, 1]
-        toff = pc[:, 2]
-        cum = jnp.cumsum(cnt)
-        total = cum[-1]
-        j = jnp.arange(n_cap, dtype=jnp.int32)
-        # piece index per slot: number of piece-ends <= j
-        p = jnp.sum(j[:, None] >= cum[None, :], axis=1).astype(jnp.int32)
-        p = jnp.minimum(p, n_pieces - 1)
-        prev = jnp.where(p > 0, cum[jnp.maximum(p - 1, 0)], 0)
-        idx = lo[p] + (j - prev)
-        idx = jnp.clip(idx, 0, arena_t.shape[0] - 1)
-        in_range = j < total
-        t = arena_t[idx] + toff[p]
-        ch = jnp.where(in_range, arena_ch[idx], -1)
-        gain = arena_gain[idx]
-        return t, ch, gain
+    # ---- arena gather, flattened over (B, n_cap) ----
+    lo = pieces[:, :, 0]
+    cnt = pieces[:, :, 1]
+    toff = pieces[:, :, 2]
+    cum = jnp.cumsum(cnt, axis=1)                      # (B, P)
+    total = cum[:, -1]                                 # (B,)
+    j = jnp.arange(n_cap, dtype=jnp.int32)[None, :]    # (1, N)
+    pidx = jnp.sum(j[:, :, None] >= cum[:, None, :], axis=2).astype(jnp.int32)         if False else jnp.sum(
+            j[:, :, None] >= cum[:, None, :], axis=2).astype(jnp.int32)
+    pidx = jnp.minimum(pidx, n_pieces - 1)
+    prev = jnp.where(pidx > 0,
+                     jnp.take_along_axis(cum, jnp.maximum(pidx - 1, 0),
+                                         axis=1), 0)
+    aidx = jnp.take_along_axis(lo, pidx, axis=1) + (j - prev)
+    aidx = jnp.clip(aidx, 0, arena_t.shape[0] - 1)
+    in_range = j < total[:, None]
+    t = arena_t[aidx] + jnp.take_along_axis(toff, pidx, axis=1)   # (B, N)
+    ch = jnp.where(in_range, arena_ch[aidx], -1)
+    gain = arena_gain[aidx]
+    valid = ch >= 0
 
-    def one(pc, k):
-        t, ch, gain = gather_one(pc)
-        valid = ch >= 0
-        return _digitize_one(params, const, t, ch, gain, valid, k,
-                             n_samples=T, max_intervals=max_intervals)
+    # ---- waveform: flatten windows into the channel axis ----
+    w_of_ph = jax.lax.broadcasted_iota(jnp.int32, (B, n_cap), 0)
+    ch_flat = jnp.where(valid, w_of_ph * C + ch, -1).reshape(-1)
+    W = photons_to_waveform(t.reshape(-1), ch_flat, gain.reshape(-1),
+                            valid.reshape(-1), 0, params.templates,
+                            n_channels=B * C, n_samples=T,
+                            sample_duration=dt)
+    adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
+    adc = adc.reshape(B, C, T)
 
-    data, mask, left_all, right_all, starts, ends, counts = \
-        jax.vmap(one)(pieces, keys)
+    # ---- channel extents (flattened scatter) ----
+    BIG = jnp.int32(2 ** 30)
+    s_ph = t // dt
+    rows = jnp.where(valid, w_of_ph * C + jnp.clip(ch, 0, C - 1), 0).reshape(-1)
+    smin = jnp.full(B * C, BIG, jnp.int32).at[rows].min(
+        jnp.where(valid, s_ph, BIG).reshape(-1))
+    smax = jnp.full(B * C, -BIG, jnp.int32).at[rows].max(
+        jnp.where(valid, s_ph, -BIG).reshape(-1))
+    smin = smin.reshape(B, C)
+    smax = smax.reshape(B, C)
+    has = smax >= smin
+    pl = smin - const.samples_to_store_before - const.samples_before_pulse_center
+    pr = smax + const.samples_to_store_after + const.samples_after_pulse_center
+    ch_left = jnp.clip(pl - const.trigger_window, 0, T - 1)
+    ch_right = jnp.clip(pr + const.trigger_window, 0, T - 1)
 
+    # ---- assemble full digitizer grid (B, C_all, T) by block concatenation
+    he_on = (const.detector == 'XENONnT'
+             and const.he_channel_end >= const.he_channel_start)
+    n_top = const.n_top_pmts
+    he_lo = const.he_channel_start
+
+    blocks = [adc]
+    mask_blocks = [has]
+    left_blocks = [ch_left]
+    right_blocks = [ch_right]
+    if he_on:
+        gap1 = he_lo - C
+        adc_he = adc[:, :n_top] * const.high_energy_deamp_int
+        he_hi = he_lo + n_top
+        gap2 = const.sum_signal_channel - he_hi
+        bot_sum = jnp.sum(adc[:, n_top:] * const.high_energy_deamp_int,
+                          axis=1, keepdims=True)
+        z1 = jnp.zeros((B, gap1, T), jnp.int32)
+        z2 = jnp.zeros((B, gap2, T), jnp.int32)
+        blocks += [z1, adc_he, z2, bot_sum]
+        zb1 = jnp.zeros((B, gap1), bool)
+        zb2 = jnp.zeros((B, gap2), bool)
+        mask_blocks += [zb1, has[:, :n_top], zb2,
+                        jnp.zeros((B, 1), bool)]   # sum channel unmasked
+        zi1 = jnp.zeros((B, gap1), jnp.int32)
+        zi2 = jnp.zeros((B, gap2), jnp.int32)
+        left_blocks += [zi1, ch_left[:, :n_top], zi2, jnp.zeros((B, 1), jnp.int32)]
+        right_blocks += [zi1, ch_right[:, :n_top], zi2, jnp.zeros((B, 1), jnp.int32)]
+        n_rows = const.sum_signal_channel + 1
+    else:
+        n_rows = C
+
+    data = jnp.concatenate(blocks, axis=1)
+    mask = jnp.concatenate(mask_blocks, axis=1)
+    left_all = jnp.concatenate(left_blocks, axis=1)
+    right_all = jnp.concatenate(right_blocks, axis=1)
+    if n_rows < C_all:
+        pad = C_all - n_rows
+        data = jnp.concatenate([data, jnp.zeros((B, pad, T), jnp.int32)], axis=1)
+        mask = jnp.concatenate([mask, jnp.zeros((B, pad), bool)], axis=1)
+        left_all = jnp.concatenate([left_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
+        right_all = jnp.concatenate([right_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
+
+    idxT = jnp.arange(T, dtype=jnp.int32)
+    in_win = (idxT[None, None, :] >= left_all[:, :, None]) &              (idxT[None, None, :] <= right_all[:, :, None]) & mask[:, :, None]
+
+    # ---- noise overlay ----
+    if const.enable_noise and params.noise_data is not None:
+        L = params.noise_data.shape[0]
+        Cn = params.noise_data.shape[1]
+        nch = min(Cn, C_all)
+        lg = jnp.min(jnp.where(mask, left_all, BIG), axis=1)
+        rg = jnp.max(jnp.where(mask, right_all, -BIG), axis=1)
+        high = jnp.maximum(L - (rg - lg) - 1, 1)
+        u = jax.random.uniform(key, (B,))
+        noise_ix = (u * high.astype(jnp.float32)).astype(jnp.int32)
+        col = (noise_ix[:, None, None] + idxT[None, None, :]
+               - left_all[:, :nch, None]) % L
+        noise = params.noise_data[:, :nch].T[
+            jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
+        data = data.at[:, :nch].add(jnp.where(in_win[:, :nch], noise, 0))
+
+    # ---- baseline + saturation ----
+    data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
+    data = jnp.where(in_win, jnp.maximum(data, 0), data)
+
+    # ---- ZLE over flattened rows ----
+    zle_rows = C_all
+    if not const.enable_noise and const.high_energy_deamp_int == 0:
+        zle_rows = C
+    holdoff = 2 * const.trigger_window + 1
+    zthr = jnp.broadcast_to(params.zle_thresholds[None, :zle_rows],
+                            (B, zle_rows)).reshape(-1)
+    starts, ends, counts = zle_all_channels(
+        data[:, :zle_rows].reshape(B * zle_rows, T), zthr,
+        left_all[:, :zle_rows].reshape(-1),
+        right_all[:, :zle_rows].reshape(-1),
+        mask[:, :zle_rows].reshape(-1),
+        holdoff=holdoff, trigger_window=const.trigger_window,
+        max_intervals=max_intervals)
+    starts = starts.reshape(B, zle_rows, max_intervals)
+    ends = ends.reshape(B, zle_rows, max_intervals)
+    counts = counts.reshape(B, zle_rows)
+    if zle_rows < C_all:
+        padr = C_all - zle_rows
+        starts = jnp.pad(starts, ((0, 0), (0, padr), (0, 0)))
+        ends = jnp.pad(ends, ((0, 0), (0, padr), (0, 0)))
+        counts = jnp.pad(counts, ((0, 0), (0, padr)))
+
+    # ---- record packing across the whole batch ----
     K = max_intervals
     kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
     itv_valid = kk < counts[:, :, None]
@@ -347,13 +473,13 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
 
     nrec_f = nrec.reshape(-1)
     csum = jnp.cumsum(nrec_f)
-    total = csum[-1]
+    total_rec = csum[-1]
     r = jnp.arange(max_records, dtype=jnp.int32)
     itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
     itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
     base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
     record_i = (r - base).astype(jnp.int32)
-    rec_valid = r < total
+    rec_valid = r < total_rec
 
     w_of = itv_of_r // (C_all * K)
     c_of = (itv_of_r // K) % C_all
@@ -366,15 +492,14 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
     flat = data.reshape(-1)
     col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
     gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
-    rows = flat[gidx]
+    rws = flat[gidx]
     in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
-    rows = jnp.where(in_len & rec_valid[:, None], rows, 0).astype(jnp.int16)
+    rws = jnp.where(in_len & rec_valid[:, None], rws, 0).astype(jnp.int16)
 
     meta = jnp.stack([
         jnp.where(rec_valid, w_of, -1),
         c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
-    # trailer row: true total (avoids a separate scalar device sync)
     trailer = jnp.array([[0, 0, 0, 0, 0, 0]], jnp.int32).at[0, 0].set(
-        total.astype(jnp.int32))
+        total_rec.astype(jnp.int32))
     meta = jnp.concatenate([meta, trailer], axis=0)
-    return dict(rec_data=rows, rec_meta=meta)
+    return dict(rec_data=rws, rec_meta=meta)
