@@ -37,15 +37,22 @@ def find_intervals(below: jnp.ndarray, *, holdoff: int, max_intervals: int):
     """
     C, T = below.shape
     idx = jnp.arange(T, dtype=jnp.int32)[None, :]
-    # any below-threshold sample within `holdoff` strictly before / after i —
-    # a single sliding-window max each (cheaper than log-depth scans on TPU)
-    b8 = below.astype(jnp.int8)
-    prev_any = jax.lax.reduce_window(
-        b8, jnp.int8(0), jax.lax.max, window_dimensions=(1, holdoff),
-        window_strides=(1, 1), padding=((0, 0), (holdoff, -1))) > 0
-    next_any = jax.lax.reduce_window(
-        b8, jnp.int8(0), jax.lax.max, window_dimensions=(1, holdoff),
-        window_strides=(1, 1), padding=((0, 0), (-1, holdoff))) > 0
+    # any below-threshold sample within `holdoff` strictly before / after i:
+    # windowed-any == windowed-count > 0, one cumulative sum + two shifted
+    # differences (a reduce_window of width `holdoff` lowers to O(T*holdoff))
+    csum = jnp.cumsum(below.astype(jnp.int32), axis=1)
+    zero = jnp.zeros((C, 1), jnp.int32)
+    csum_p = jnp.concatenate([zero, csum], axis=1)   # csum_p[i] = sum(x[:i])
+
+    def win_sum(lo_shift, hi_shift):
+        # sum over x[i+lo_shift .. i+hi_shift] inclusive
+        hi = jnp.clip(idx + hi_shift + 1, 0, T)
+        lo = jnp.clip(idx + lo_shift, 0, T)
+        return (jnp.take_along_axis(csum_p, hi, axis=1)
+                - jnp.take_along_axis(csum_p, lo, axis=1))
+
+    prev_any = win_sum(-holdoff, -1) > 0
+    next_any = win_sum(1, holdoff) > 0
     # Interval start: no below sample within holdoff before
     # (reference close rule: utils.py:44-45); end: none within holdoff after
     new_start = below & ~prev_any
