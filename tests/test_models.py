@@ -196,3 +196,23 @@ def test_special_thresholds():
     zthr = np.asarray(params.zle_thresholds)
     assert zthr[5] == 16000 - 100 - 1
     assert zthr[6] == 16000 - 15 - 1
+
+
+def test_s2_luminescence_garfield_table():
+    """'garfield' model with a synthetic wire-distance timing table
+    (reference: s2.py:380-409)."""
+    rng = np.random.default_rng(0)
+    n_rows, n_cols = 11, 500
+    x_axis = np.linspace(-0.25, 0.25, n_rows)
+    table = rng.exponential(300, (n_rows, n_cols)) + \
+        np.abs(x_axis)[:, None] * 1000
+    c, res, params, const = setup_models(
+        s2_luminescence_model='garfield',
+        s2_luminescence={'t': table.astype(np.float32),
+                         'x': x_axis.astype(np.float32)})
+    assert params.garfield_t is not None
+    ph, truth, _ = run_s2(c, params, const, amp=100)
+    t = np.asarray(ph['t'])[np.asarray(ph['valid'])]
+    assert len(t) > 500
+    sig = np.asarray(truth['photon_t_sigma'])
+    assert np.all(sig > 0)
