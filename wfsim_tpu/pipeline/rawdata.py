@@ -615,13 +615,19 @@ class RawDataTPU:
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
                              n_phot=n_phot))
 
-        # bucket windows by (T_cap, N_cap, P_cap) and digitize in batches
+        # bucket windows by (T_cap, N_cap, P_cap) and digitize in batches;
+        # buckets are coarse (few distinct shapes) because every distinct
+        # shape costs a compile and every extra call costs a dispatch+fetch
+        # round trip on the TPU tunnel
+        t_floor = int(self.config.get('digitize_t_floor', 1024))
+        n_floor = int(self.config.get('digitize_n_floor', 8192))
         results = [None] * len(wins)
         buckets: ty.Dict[tuple, list] = {}
         for i, w in enumerate(wins):
-            n_cap = _bucket(w['n_phot'], lo=256)
-            p_cap = _bucket(len(w['grp']), lo=2, hi=2 ** 14)
-            buckets.setdefault((w['T_cap'], n_cap, p_cap), []).append(i)
+            n_cap = _bucket(w['n_phot'], lo=n_floor)
+            p_cap = _bucket(len(w['grp']), lo=4, hi=2 ** 14)
+            t_cap = max(w['T_cap'], t_floor)
+            buckets.setdefault((t_cap, n_cap, p_cap), []).append(i)
 
         spr = DEFAULT_RECORD_LENGTH
         max_itv = int(self.config.get('zle_max_intervals', 64))
