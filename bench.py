@@ -18,7 +18,7 @@ import time
 import numpy as np
 
 
-def measure_tpu(n_events=64, amp_s1=2000, amp_s2=300, repeats=3):
+def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=2):
     from wfsim_tpu.config import default_config
     from wfsim_tpu.dtypes import instruction_dtype
     from wfsim_tpu.interface.simulator import Simulator
