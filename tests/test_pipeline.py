@@ -149,3 +149,38 @@ def test_s1_only_and_s2_only():
         out = Simulator(c).get_arrays(inst)
         assert len(out['raw_records']) > 0
         assert np.all(out['truth']['type'] == typ)
+
+
+def test_save_full_truth_grouping():
+    """save_full_truth=False groups nearby same-type instructions into one
+    truth row (S1s within 100 ns; reference rawdata.py:110-123)."""
+    from wfsim_tpu.pipeline.rawdata import RawDataTPU
+    c = default_config(save_full_truth=False, seed=3)
+    inst = np.zeros(4, dtype=instruction_dtype)
+    inst['type'] = 1
+    inst['time'] = [1_000_000, 1_000_050, 5_000_000, 5_000_020]
+    inst['x'], inst['y'], inst['z'] = 5., 5., -50.
+    inst['amp'] = [500, 700, 300, 400]
+    inst['recoil'] = 7
+    rd = RawDataTPU(c)
+    truth = []
+    list(rd.iter_windows(inst, truth_buffer=truth))
+    assert len(truth) == 2
+    # grouped rows sum amps and average positions (reference rawdata.py:363-372)
+    amps = sorted(r['amp'] for r in truth)
+    assert amps == [700, 1200]
+
+
+def test_xenon1t_detector_end_to_end():
+    c = default_config(detector='XENON1T', seed=6)
+    inst = np.zeros(2, dtype=instruction_dtype)
+    inst['type'] = [1, 2]
+    inst['time'] = 50_000_000
+    inst['x'], inst['y'], inst['z'] = 5., 5., -40.
+    inst['amp'] = [2000, 200]
+    inst['recoil'] = 7
+    out = Simulator(c).get_arrays(inst)
+    rr = out['raw_records']
+    assert len(rr) > 0
+    assert rr['channel'].max() < 248
+    assert 'raw_records_he' not in out

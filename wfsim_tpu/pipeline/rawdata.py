@@ -149,12 +149,25 @@ class RawDataTPU:
         device, so compute for many batches pipelines; the results are
         collected later by :meth:`_finalize_type_batch`."""
         base_time = int(np.min(instructions['time'][idx]))
-        # truth rows: one per instruction for s1/s2; one shared row per batch
-        # for afterpulse types (reference groups them, rawdata.py:124-125)
+        # truth rows: one per instruction for s1/s2 (save_full_truth, the
+        # default), or grouped — S1s within 100 ns, S2s within 2 mm of drift —
+        # when save_full_truth is off (reference: rawdata.py:110-123); one
+        # shared row per batch for afterpulse types (rawdata.py:124-125)
         if kind in ('s1', 's2'):
-            truth_rows = np.arange(len(idx), dtype=np.int32)
-            n_rows = len(idx)
-            row_members = [[i] for i in range(len(idx))]
+            if self.config.get('save_full_truth', True):
+                truth_rows = np.arange(len(idx), dtype=np.int32)
+            else:
+                # group on signal-arrival times like the reference buffer
+                arrival = self._arrival_times(instructions[idx])
+                if kind == 's1':
+                    gap = 100
+                else:
+                    gap = int(0.2 / self.config['drift_velocity_liquid'])
+                new_grp = np.concatenate([[True], np.diff(arrival) > gap])
+                truth_rows = (np.cumsum(new_grp) - 1).astype(np.int32)
+            n_rows = int(truth_rows.max()) + 1
+            row_members = [list(np.nonzero(truth_rows == r)[0])
+                           for r in range(n_rows)]
         else:
             truth_rows = np.zeros(len(idx), dtype=np.int32)
             n_rows = 1
