@@ -211,3 +211,35 @@ def test_strax_gating():
         assert not contexts.HAVE_STRAX
     else:
         assert hasattr(strax_plugins, 'RawRecordsFromFaxNT')
+
+
+def test_nveto_optical_end_to_end():
+    """Neutron-veto detector through the optical chain
+    (reference: RawRecordsFromFaxnVeto path)."""
+    from wfsim_tpu.pipeline.chunker import ChunkRawRecords
+    from wfsim_tpu.pipeline.optical import RawDataOpticalTPU
+
+    rng = np.random.default_rng(3)
+    n_events, ppe = 2, 150
+    channels = rng.integers(0, 120, n_events * ppe).astype(np.int32)
+    timings = rng.integers(0, 300, n_events * ppe).astype(np.int64)
+    inst = np.zeros(n_events, dtype=instruction_dtype + optical_extra_dtype)
+    inst['type'] = 1
+    inst['time'] = (np.arange(n_events) + 1) * 20_000_000
+    inst['event_number'] = np.arange(n_events)
+    inst['amp'] = ppe
+    inst['recoil'] = 1
+    inst['_first'] = np.arange(n_events) * ppe
+    inst['_last'] = (np.arange(n_events) + 1) * ppe
+
+    c = default_config(detector='XENONnT_neutron_veto', seed=8, chunk_size=1)
+    c['_truth_extra_instruction_dtype'] = optical_extra_dtype
+    sim = ChunkRawRecords(c, rawdata_generator=RawDataOpticalTPU,
+                          channels=channels, timings=timings)
+    outs = list(sim(inst))
+    rr = np.concatenate([o['raw_records'] for o in outs])
+    truth = np.concatenate([o['truth'] for o in outs])
+    assert len(rr) > 0
+    assert rr['channel'].max() < 120
+    assert len(truth) == n_events
+    assert (truth['n_photon'] == ppe).all()
