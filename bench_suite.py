@@ -1,0 +1,104 @@
+"""Extended benchmark suite: the five BASELINE.json configurations.
+
+Prints one JSON line per config. ``bench.py`` remains the single headline
+metric for the driver; this suite gives the full picture.
+"""
+import json
+import time
+
+import numpy as np
+
+from wfsim_tpu.config import default_config
+from wfsim_tpu.dtypes import instruction_dtype, optical_extra_dtype
+from wfsim_tpu.interface.simulator import Simulator
+
+
+def make_inst(n, types=(1, 2), amps=(2000, 300), spacing=4_000_000, seed=7):
+    k = len(types)
+    rng = np.random.default_rng(seed)
+    inst = np.zeros(k * n, dtype=instruction_dtype)
+    inst['event_number'] = np.repeat(np.arange(n), k)
+    inst['type'] = np.tile(types, n)
+    inst['time'] = np.repeat((np.arange(n) + 1) * spacing, k)
+    r = np.sqrt(rng.uniform(0, 45 ** 2, n))
+    th = rng.uniform(-np.pi, np.pi, n)
+    inst['x'] = np.repeat(r * np.cos(th), k)
+    inst['y'] = np.repeat(r * np.sin(th), k)
+    inst['z'] = np.repeat(rng.uniform(-90, -10, n), k)
+    inst['amp'] = np.tile(amps, n)
+    inst['recoil'] = 7
+    return inst
+
+
+def run_config(name, config, inst, rawdata_kwargs=None):
+    sim = Simulator(config)
+    _ = sim.get_arrays(inst)           # warmup/compile
+    t0 = time.perf_counter()
+    sim = Simulator(config)
+    out = sim.get_arrays(inst)
+    dt = time.perf_counter() - t0
+    n_events = len(np.unique(inst['event_number']))
+    n_ph = int(out['truth']['n_photon'].sum())
+    print(json.dumps({
+        'metric': name, 'value': round(n_events / dt, 3),
+        'unit': 'events/s',
+        'photons_per_sec': round(n_ph / dt, 1),
+        'records': int(len(out['raw_records'])),
+    }), flush=True)
+
+
+def main():
+    n = 256
+    base = dict(chunk_size=1000, seed=1234)
+
+    run_config('S1-only', default_config(**base),
+               make_inst(n, types=(1,), amps=(2000,)))
+    run_config('S2-only', default_config(**base),
+               make_inst(n, types=(2,), amps=(300,)))
+    run_config('full S1+S2 + afterpulses + noise',
+               default_config(enable_pmt_afterpulses=True,
+                              enable_electron_afterpulses=True,
+                              enable_noise=True, **base),
+               make_inst(n))
+    run_config('high-rate S1+S2 (1 kHz)',
+               default_config(**base),
+               make_inst(1024, spacing=1_000_000))
+
+    # optical (GEANT4-like photon lists), nVeto detector
+    from wfsim_tpu.pipeline.chunker import ChunkRawRecords
+    from wfsim_tpu.pipeline.optical import RawDataOpticalTPU
+    rng = np.random.default_rng(3)
+    n_ev, ppe = 256, 300
+    channels = rng.integers(0, 120, n_ev * ppe).astype(np.int32)
+    timings = rng.integers(0, 400, n_ev * ppe).astype(np.int64)
+    oinst = np.zeros(n_ev, dtype=instruction_dtype + optical_extra_dtype)
+    oinst['type'] = 1
+    oinst['time'] = (np.arange(n_ev) + 1) * 2_000_000
+    oinst['event_number'] = np.arange(n_ev)
+    oinst['amp'] = ppe
+    oinst['recoil'] = 1
+    oinst['_first'] = np.arange(n_ev) * ppe
+    oinst['_last'] = (np.arange(n_ev) + 1) * ppe
+    c = default_config(detector='XENONnT_neutron_veto', seed=8,
+                       chunk_size=1000)
+    c['_truth_extra_instruction_dtype'] = optical_extra_dtype
+
+    def run_optical():
+        sim = ChunkRawRecords(c, rawdata_generator=RawDataOpticalTPU,
+                              channels=channels, timings=timings)
+        return [o for o in sim(oinst)]
+
+    run_optical()   # warmup
+    t0 = time.perf_counter()
+    outs = run_optical()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        'metric': 'optical photon-list (nVeto)', 'value': round(n_ev / dt, 3),
+        'unit': 'events/s',
+        'photons_per_sec': round(n_ev * ppe / dt, 1),
+        'records': int(sum(len(o['raw_records']) for o in outs)),
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()
