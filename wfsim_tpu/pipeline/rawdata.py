@@ -679,19 +679,32 @@ class RawDataTPU:
 
         self.diag.add('windows', len(wins))
         self.diag.add('photons', sum(p.pool_count for p in pulses))
-        # phase 2: fetch, retry rare record overflows, split per window
-        for batch, T_cap, n_cap, p_cap, res in calls:
+        # phase 1b: all calls share the default record capacity, so their
+        # outputs stack into a single device array — ONE fetch for the whole
+        # chunk instead of two per call
+        fetched = [None] * len(calls)
+        if calls:
+            metas = np.asarray(jnp.stack([r['rec_meta']
+                                          for (_, _, _, _, r) in calls]))
+            datas = np.asarray(jnp.stack([r['rec_data']
+                                          for (_, _, _, _, r) in calls]))
+            fetched = list(zip(metas, datas))
+
+        # phase 2: retry rare record overflows, split per window
+        for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
+            meta_full, rdata_full = fetched[ci]
             max_records = 4096
             while True:
-                meta_full = np.asarray(res['rec_meta'])
                 n_rec = int(meta_full[-1, 0])
                 if n_rec <= max_records:
                     break
                 max_records = _bucket(n_rec, lo=4096)
                 res = dispatch(batch, T_cap, n_cap, p_cap, max_records)
+                meta_full = np.asarray(res['rec_meta'])
+                rdata_full = np.asarray(res['rec_data'])
 
             meta = meta_full[:n_rec]
-            rdata = np.asarray(res['rec_data'])[:n_rec]
+            rdata = rdata_full[:n_rec]
             # split records by window (meta col 0 ascending by design)
             bounds = np.searchsorted(meta[:, 0], np.arange(len(batch) + 1))
             for bi, wi in enumerate(batch):
