@@ -112,9 +112,19 @@ def measure_cpu_baseline(n_events=8, amp_s1=2000, amp_s2=300):
                 adc = -np.around(wave * c['current_2_adc']).astype(np.int64)
                 adc += 16000
                 np.clip(adc, 0, None, out=adc)
-                # sequential ZLE scan
+                # sequential ZLE scan + strax record packing
+                # (reference: utils.py:14-58 + strax_interface.py:425-436)
                 below = adc < 15984
-                np.flatnonzero(below[1:] != below[:-1])
+                edges = np.flatnonzero(np.diff(below.astype(np.int8)))
+                if below.any():
+                    lo = max(int(np.argmax(below)) - 50, 0)
+                    hi = min(len(adc) - 1,
+                             int(len(below) - np.argmax(below[::-1])) + 50)
+                    pulse = adc[lo:hi + 1]
+                    plen = len(pulse)
+                    nrec = -(-plen // 110)
+                    np.pad(pulse, (0, nrec * 110 - plen),
+                           'constant').reshape(-1, 110).astype(np.int16)
     dt = time.perf_counter() - t0
     return n_events / dt, total_photons / dt
 
