@@ -105,7 +105,7 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
                valid=sel[take], truth_row=row[take])
     info = dict(total=sel.sum().astype(jnp.int32))
     if n_truth_rows:
-        BIG = jnp.int32(2 ** 30)
+        BIG = jnp.int32(2 ** 31 - 1)
         rc = jnp.where(out['valid'], out['truth_row'], 0)
         info['counts'] = jnp.zeros(n_truth_rows, jnp.int32).at[rc].add(
             out['valid'].astype(jnp.int32))

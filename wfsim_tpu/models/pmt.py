@@ -131,7 +131,7 @@ def photon_time_stats(t, valid, truth_row, n_truth_rows: int):
     Times are int32 window-relative; sums are centered on the per-row minimum
     to keep f32 accumulation exact enough for sub-ns moments.
     """
-    BIG = jnp.int32(2 ** 30)
+    BIG = jnp.int32(2 ** 31 - 1)
     row = jnp.where(valid, truth_row, 0)
     cnt = jnp.zeros(n_truth_rows, jnp.int32).at[row].add(valid.astype(jnp.int32))
     tmin = jnp.full(n_truth_rows, BIG, jnp.int32).at[row].min(

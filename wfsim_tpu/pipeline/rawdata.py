@@ -169,9 +169,16 @@ class RawDataTPU:
             row_members = [list(np.nonzero(truth_rows == r)[0])
                            for r in range(n_rows)]
         else:
-            truth_rows = np.zeros(len(idx), dtype=np.int32)
-            n_rows = 1
-            row_members = [list(range(len(idx)))]
+            # afterpulse types: one truth row per arrival cluster (the
+            # reference simulates all same-type secondaries of one buffer
+            # cluster in a single call, rawdata.py:124-125)
+            arrival = self._arrival_times(instructions[idx])
+            rext = int(self.config['right_raw_extension'])
+            new_grp = np.concatenate([[True], np.diff(arrival) > rext])
+            truth_rows = (np.cumsum(new_grp) - 1).astype(np.int32)
+            n_rows = int(truth_rows.max()) + 1
+            row_members = [list(np.nonzero(truth_rows == r)[0])
+                           for r in range(n_rows)]
         n_rows_cap = _bucket(n_rows, lo=8, hi=2 ** 16)
 
         inst, icap = self._make_inst_batch(instructions, idx, base_time,
@@ -680,7 +687,7 @@ class RawDataTPU:
             bytes_per_win = (self.const.n_tpc_pmts * T_cap * 10 * 4 * 2
                              + self.const.n_channels_total * T_cap * 8
                              + n_cap * 16)
-            b_max = max(1, int(3e9) // bytes_per_win)
+            b_max = max(1, int(6e9) // bytes_per_win)
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
