@@ -1,0 +1,110 @@
+"""Resource loader tests: straxen-style map files, SPE CSVs, dummy maps,
+config hashing."""
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from wfsim_tpu.config import default_config, deterministic_hash
+from wfsim_tpu.resources.loader import (
+    make_map, DummyMap, MultiMap, interpolating_map_to_grid, load_config)
+from wfsim_tpu.resources.spe import spe_table_from_csv, build_uniform_to_pe
+
+
+def test_dummy_map_semantics():
+    m = DummyMap(0.5, (494,))
+    out = m(np.zeros((7, 3)))
+    assert out.shape == (7, 494)
+    assert (out == 0.5).all()
+    r = m.reduce_last_dim()
+    assert r.shape == (1,)
+    np.testing.assert_allclose(r(np.zeros((3, 2))), 0.5 * 494)
+
+
+def test_scattered_map_file(tmp_path):
+    """straxen InterpolatingMap scattered layout -> re-gridded GridMap."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-50, 50, (400, 2))
+    vals = 1.0 + 0.01 * pts[:, 0]
+    payload = dict(coordinate_system=pts.tolist(), map=vals.tolist(),
+                   name='test map')
+    path = tmp_path / 'map.json'
+    path.write_text(json.dumps(payload))
+    m = make_map(str(path), {})
+    assert isinstance(m, MultiMap)
+    q = np.array([[0.0, 0.0], [30.0, -20.0]])
+    est = np.asarray(m(q))
+    np.testing.assert_allclose(est, 1.0 + 0.01 * q[:, 0], atol=0.05)
+
+
+def test_regular_grid_map_file_gz(tmp_path):
+    """Regular-grid layout with multiple named maps, gzipped."""
+    xs = np.linspace(-1, 1, 11)
+    ys = np.linspace(0, 2, 21)
+    grid_a = np.add.outer(xs, ys)
+    payload = dict(
+        coordinate_system=[['x', [-1, 1, 11]], ['y', [0, 2, 21]]],
+        map_a=grid_a.tolist(),
+        map_b=(2 * grid_a).tolist())
+    path = tmp_path / 'map.json.gz'
+    with gzip.open(path, 'wt') as f:
+        f.write(json.dumps(payload))
+    m = make_map(str(path), {})
+    q = np.array([[0.5, 1.0], [-0.3, 0.4]])
+    np.testing.assert_allclose(np.asarray(m(q, map_name='map_a')),
+                               q[:, 0] + q[:, 1], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m(q, map_name='map_b')),
+                               2 * (q[:, 0] + q[:, 1]), atol=1e-3)
+
+
+def test_spe_csv(tmp_path):
+    """Reference-format SPE CSV: 'charge' column + one pdf column per
+    channel; single channel broadcasts to all (reference test pattern)."""
+    charge = np.linspace(-1, 3, 100)
+    pdf = np.exp(-0.5 * ((charge - 1.0) / 0.3) ** 2)
+    pdf[charge < 0.1] = 0
+    import pandas as pd
+    df = pd.DataFrame({'charge': charge, '0': pdf})
+    path = tmp_path / 'spe.csv'
+    df.to_csv(path)
+    table = spe_table_from_csv(str(path), 494)
+    assert table.shape == (494, 2001)
+    # the median of the sampled gain distribution ~ SPE mean 1
+    assert 0.8 < table[13, 1000] < 1.2
+    # all channels identical (broadcast)
+    np.testing.assert_array_equal(table[0], table[493])
+
+
+def test_uniform_to_pe_inverse_cdf():
+    charge = np.linspace(0, 2, 201)
+    pdf = np.ones(201)
+    table = build_uniform_to_pe(charge, pdf[None, :])
+    # uniform distribution: inverse CDF is ~linear from 0 to 2
+    assert abs(table[0, 1000] - 1.0) < 0.05
+    assert abs(table[0, 200] - 0.2) < 0.05
+
+
+def test_resource_cache_by_hash():
+    c1 = default_config()
+    c2 = default_config()
+    assert load_config(c1) is load_config(c2)
+    c3 = default_config(s1_pattern_map=['constant dummy', 1e-4, [494]])
+    assert load_config(c3) is not load_config(c1)
+    h1 = deterministic_hash({'a': np.arange(5)})
+    h2 = deterministic_hash({'a': np.arange(5)})
+    h3 = deterministic_hash({'a': np.arange(6)})
+    assert h1 == h2 != h3
+
+
+def test_pattern_map_pmt_masking(tmp_path):
+    """Dead PMTs (gain 0) must be zeroed out of pattern maps at load
+    (reference: load_resource.py:430-432)."""
+    gains = [2e6] * 494
+    gains[7] = 0.0
+    c = default_config(gains=gains)
+    from wfsim_tpu.models.params import build_params
+    res = load_config(c)
+    params = build_params(c, res)
+    assert not bool(params.live_mask[7])
+    assert bool(params.live_mask[8])
