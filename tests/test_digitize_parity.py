@@ -1,0 +1,110 @@
+"""Bitwise parity of the DAQ chain (no randomness): fixed photon inputs
+through our fused digitize kernel must reproduce a plain-numpy rendition of
+the reference semantics exactly — superposition, ADC rounding, baseline,
+saturation, ZLE with holdoff/trigger-window/even-alignment, record packing."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wfsim_tpu.config import default_config
+from wfsim_tpu.resources.loader import load_config
+from wfsim_tpu.models.params import build_params, build_constants
+from wfsim_tpu.ops.waveform import make_templates
+from wfsim_tpu.pipeline.digitize import (gather_digitize, pack_records,
+                                         SAMPLES_PER_RECORD)
+
+from .reference_semantics import intervals_below_threshold, scatter_spe
+
+
+def numpy_digitize(c, templates, t, ch, gain, T, n_channels):
+    """Reference-semantics oracle: wfsim/core/rawdata.py:204-311."""
+    W = scatter_spe(t, ch, gain, 0, n_channels, T, templates)
+    adc = -np.around(W * c['current_2_adc']).astype(np.int64)
+    # channel windows
+    out = {}
+    for cch in np.unique(ch):
+        s = (t[ch == cch] // 10).astype(int)
+        pl = s.min() - c['samples_to_store_before'] - 2
+        pr = s.max() + c['samples_to_store_after'] + 20
+        cl = max(pl - c['trigger_window'], 0)
+        cr = min(pr + c['trigger_window'], T - 1)
+        data = adc[cch].copy()
+        data[cl:cr + 1] += c['digitizer_reference_baseline']
+        np.clip(data[cl:cr + 1], 0, None, out=data[cl:cr + 1])
+        seg = data[cl:cr + 1]
+        thr = c['digitizer_reference_baseline'] - c['zle_threshold'] - 1
+        itvs = intervals_below_threshold(seg, thr, 2 * c['trigger_window'] + 1)
+        recs = []
+        for (lo, hi) in itvs:
+            lo2 = max(lo - c['trigger_window'], 0)
+            hi2 = min(hi + c['trigger_window'], len(seg) - 1)
+            lo2 = int(np.ceil(lo2 / 2.0) * 2)
+            hi2 = int(np.floor(hi2 / 2.0) * 2)
+            pulse = seg[lo2:hi2 + 1]
+            plen = len(pulse)
+            nrec = -(-plen // SAMPLES_PER_RECORD)
+            padded = np.pad(pulse, (0, nrec * SAMPLES_PER_RECORD - plen))
+            for i in range(nrec):
+                recs.append((cl + lo2 + i * SAMPLES_PER_RECORD,
+                             min(plen - i * SAMPLES_PER_RECORD,
+                                 SAMPLES_PER_RECORD),
+                             plen, i,
+                             padded[i * SAMPLES_PER_RECORD:
+                                    (i + 1) * SAMPLES_PER_RECORD]))
+        out[int(cch)] = recs
+    return out
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_digitize_bitwise_parity(seed):
+    c = default_config()
+    res = load_config(c)
+    params = build_params(c, res)
+    const = build_constants(c)
+    templates = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
+
+    rng = np.random.default_rng(seed)
+    T = 1024
+    n = 400
+    t = rng.integers(1500, T * 10 - 3000, n).astype(np.int64)
+    ch = rng.integers(0, 32, n).astype(np.int32)
+    gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+
+    # our path: photons already in the arena, one window, one piece
+    arena_t = jnp.asarray(t.astype(np.int32))
+    arena_ch = jnp.asarray(ch)
+    arena_g = jnp.asarray(gain)
+    pieces = np.zeros((1, 4, 3), np.int32)
+    pieces[0, 0] = (0, n, 0)
+    resA = gather_digitize(params, const, arena_t, arena_ch, arena_g,
+                           jnp.asarray(pieces), jax.random.key(0),
+                           n_samples=T, n_pieces=4, n_cap=512 if n <= 512 else 1024,
+                           max_intervals=16)
+    n_rec = int(resA['n_records'])
+    packed = pack_records(resA['data'], resA['left_all'], resA['starts'],
+                          resA['ends'], resA['counts'],
+                          n_channels_total=const.n_channels_total,
+                          n_samples=T, max_intervals=16,
+                          max_records=2048)
+    meta = np.asarray(packed['rec_meta'])[:n_rec]
+    rdata = np.asarray(packed['rec_data'])[:n_rec]
+
+    oracle = numpy_digitize(c, templates, t, ch, gain, T, const.n_tpc_pmts)
+
+    ours = {}
+    for i in range(n_rec):
+        w, cch, start_s, length, plen, rec_i = meta[i]
+        ours.setdefault(int(cch), []).append(
+            (int(start_s), int(length), int(plen), int(rec_i), rdata[i]))
+
+    assert set(ours) == set(oracle)
+    for cch in oracle:
+        assert len(ours[cch]) == len(oracle[cch]), f'channel {cch}'
+        for got, ref in zip(ours[cch], oracle[cch]):
+            assert got[0] == ref[0], (cch, 'left', got[0], ref[0])
+            assert got[1] == ref[1], (cch, 'length')
+            assert got[2] == ref[2], (cch, 'pulse_length')
+            assert got[3] == ref[3], (cch, 'record_i')
+            np.testing.assert_array_equal(got[4], ref[4].astype(np.int16),
+                                          err_msg=f'channel {cch} payload')

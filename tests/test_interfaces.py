@@ -243,3 +243,39 @@ def test_nveto_optical_end_to_end():
     assert rr['channel'].max() < 120
     assert len(truth) == n_events
     assert (truth['n_photon'] == ppe).all()
+
+
+def test_comsol_fdc():
+    import jax.numpy as jnp
+    from wfsim_tpu.resources.loader import load_config
+    from wfsim_tpu.models.params import build_params
+    from wfsim_tpu.models.s2 import field_distortion_comsol
+
+    c = default_config(field_distortion_model='comsol',
+                       field_distortion_comsol_map=['constant dummy', 25.0, []])
+    res = load_config(c)
+    params = build_params(c, res)
+    x = jnp.asarray([30.0, 0.0])
+    y = jnp.asarray([0.0, 40.0])
+    z = jnp.asarray([-50.0, -20.0])
+    z_obs, xy = field_distortion_comsol(params, x, y, z)
+    # constant r_obs=25 at the original azimuth
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(xy), axis=1), 25.0,
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(z_obs), np.asarray(z))
+
+
+def test_gains_from_to_pe():
+    from wfsim_tpu.config import finalize_config
+    c = default_config()
+    del c['gains']
+    c.pop('turned_off_pmts', None)
+    c['to_pe'] = np.full(494, 0.005)
+    c['to_pe'][3] = 0.0
+    c2 = finalize_config(c)
+    adc_2_current = (c2['digitizer_voltage_range']
+                     / 2 ** c2['digitizer_bits']
+                     / c2['pmt_circuit_load_resistor'])
+    assert abs(c2['gains'][0] - adc_2_current / 0.005) < 1e-3
+    assert c2['gains'][3] == 0.0
+    assert 3 in c2['turned_off_pmts']

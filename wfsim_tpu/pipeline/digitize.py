@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
-__all__ = ['digitize_window', 'digitize_pack_windows', 'SAMPLES_PER_RECORD']
+__all__ = ['digitize_window', 'digitize_pack_windows', 'gather_digitize',
+           'pack_records', 'SAMPLES_PER_RECORD']
 
 SAMPLES_PER_RECORD = 110
 
@@ -292,14 +293,13 @@ def digitize_pack_windows(params, const, packed, key, *,
 
 
 @partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
-                                   'max_records', 'n_pieces', 'n_cap'))
-def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
-                         pieces, key, *,
-                         n_samples: int,
-                         n_pieces: int,
-                         n_cap: int,
-                         max_intervals: int = 64,
-                         max_records: int = 4096):
+                                   'n_pieces', 'n_cap'))
+def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
+                    pieces, key, *,
+                    n_samples: int,
+                    n_pieces: int,
+                    n_cap: int,
+                    max_intervals: int = 64):
     """Device-resident production path: gather each window's photons straight
     from the on-device photon arena, then digitize + pack records.
 
@@ -463,8 +463,33 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
         ends = jnp.pad(ends, ((0, 0), (0, padr), (0, 0)))
         counts = jnp.pad(counts, ((0, 0), (0, padr)))
 
-    # ---- record packing across the whole batch ----
+    # ---- record count (exact; lets the host size the pack kernel) ----
     K = max_intervals
+    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+    itv_valid = kk < counts[:, :, None]
+    plen = jnp.where(itv_valid, ends - starts + 1, 0)
+    nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
+    total_rec = nrec.sum().astype(jnp.int32)
+    return dict(data=data.astype(jnp.int16), left_all=left_all,
+                starts=starts, ends=ends, counts=counts,
+                n_records=total_rec)
+
+
+@partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
+                                   'max_intervals', 'max_records'))
+def pack_records(data, left_all, starts, ends, counts, *,
+                 n_channels_total: int,
+                 n_samples: int,
+                 max_intervals: int,
+                 max_records: int):
+    """Pack ZLE intervals into strax 110-sample record rows (exact-capacity
+    second stage of the digitize pipeline; the payload is sliced on device
+    and streamed to the host)."""
+    spr = SAMPLES_PER_RECORD
+    T = n_samples
+    C_all = n_channels_total
+    K = max_intervals
+
     kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
     itv_valid = kk < counts[:, :, None]
     plen = jnp.where(itv_valid, ends - starts + 1, 0)
@@ -489,7 +514,7 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
     start_s = left_f + record_i * spr
     length = jnp.clip(plen_f - record_i * spr, 0, spr)
 
-    flat = data.reshape(-1)
+    flat = data.reshape(-1).astype(jnp.int16)
     col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
     gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
     rws = flat[gidx]
@@ -499,7 +524,4 @@ def gather_digitize_pack(params, const, arena_t, arena_ch, arena_gain,
     meta = jnp.stack([
         jnp.where(rec_valid, w_of, -1),
         c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
-    trailer = jnp.array([[0, 0, 0, 0, 0, 0]], jnp.int32).at[0, 0].set(
-        total_rec.astype(jnp.int32))
-    meta = jnp.concatenate([meta, trailer], axis=0)
     return dict(rec_data=rws, rec_meta=meta)

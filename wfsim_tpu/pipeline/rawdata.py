@@ -585,7 +585,7 @@ class RawDataTPU:
         (gathering photons straight from the device arena) with on-device
         record packing, and yield per-window record arrays in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
-        from .digitize import gather_digitize_pack
+        from .digitize import gather_digitize, pack_records
 
         if not self._pulses:
             return
@@ -635,10 +635,8 @@ class RawDataTPU:
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
                              n_phot=n_phot))
 
-        # bucket windows by (T_cap, N_cap, P_cap) and digitize in batches;
-        # buckets are coarse (few distinct shapes) because every distinct
-        # shape costs a compile and every extra call costs a dispatch+fetch
-        # round trip on the TPU tunnel
+        # bucket windows by (T_cap, N_cap, P_cap); coarse buckets: each
+        # distinct shape costs a compile, each call a dispatch round trip
         t_floor = int(self.config.get('digitize_t_floor', 1024))
         n_floor = int(self.config.get('digitize_n_floor', 8192))
         results = [None] * len(wins)
@@ -652,17 +650,7 @@ class RawDataTPU:
         spr = DEFAULT_RECORD_LENGTH
         max_itv = int(self.config.get('zle_max_intervals', 64))
 
-        def est_records(batch, T_cap):
-            # upper-bound estimate: every photon-carrying channel triggers one
-            # interval spanning its whole window
-            total = 0
-            for wi in batch:
-                w = wins[wi]
-                act = min(self.const.n_tpc_pmts, w['n_phot'])
-                total += act * (T_cap // spr + 2)
-            return total
-
-        def dispatch(batch, T_cap, n_cap, p_cap, max_records):
+        def dispatch(batch, T_cap, n_cap, p_cap):
             B = _bucket(len(batch), lo=1, hi=2 ** 30)
             pieces = np.zeros((B, p_cap, 3), np.int32)
             for bi, wi in enumerate(batch):
@@ -672,12 +660,11 @@ class RawDataTPU:
                     pieces[bi, pi, 0] = p.pool_start
                     pieces[bi, pi, 1] = p.pool_count
                     pieces[bi, pi, 2] = p.base_time - win_base
-            res = gather_digitize_pack(
+            return gather_digitize(
                 self.params, self.const, arena_t, arena_ch, arena_g,
                 jnp.asarray(pieces), self._next_key(),
                 n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
-                max_intervals=max_itv, max_records=max_records)
-            return res
+                max_intervals=max_itv)
 
         # phase 1: dispatch every digitize batch (compute pipelines)
         calls = []
@@ -691,33 +678,31 @@ class RawDataTPU:
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
-                max_records = _bucket(est_records(batch, T_cap), lo=4096)
-                res = dispatch(batch, T_cap, n_cap, p_cap, max_records)
-                calls.append((batch, T_cap, n_cap, p_cap, max_records, res))
+                res = dispatch(batch, T_cap, n_cap, p_cap)
+                calls.append((batch, T_cap, n_cap, p_cap, res))
 
         self.diag.add('windows', len(wins))
         self.diag.add('photons', sum(p.pool_count for p in pulses))
         self.diag.add('digitize_calls', len(calls))
 
-        # phase 1b: fetch all record counts in ONE tiny transfer (the meta
-        # trailer rows), then slice meta+payload ON DEVICE to actual size and
-        # start async host copies so the (large) record payloads stream back
-        # overlapped with each other
+        # phase 1b: ONE tiny fetch of all record counts, then dispatch the
+        # exact-capacity pack kernels and stream their outputs back with
+        # async host copies
         payloads = []
         if calls:
             counts_h = np.asarray(jnp.stack(
-                [res['rec_meta'][-1, 0] for *_, res in calls]))
-            for ci, (batch, T_cap, n_cap, p_cap, max_records, res) \
-                    in enumerate(calls):
+                [res['n_records'] for *_, res in calls]))
+            for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
                 n_rec = int(counts_h[ci])
-                if n_rec > max_records:   # estimate failed (shouldn't happen)
-                    log.warning('record estimate exceeded (%d > %d), re-run',
-                                n_rec, max_records)
-                    res = dispatch(batch, T_cap, n_cap, p_cap,
-                                   _bucket(n_rec, lo=4096))
-                n = max(n_rec, 1)
-                m_sl = res['rec_meta'][:n]
-                d_sl = res['rec_data'][:n]
+                max_records = _bucket(max(n_rec, 1), lo=1024)
+                packed = pack_records(
+                    res['data'], res['left_all'], res['starts'],
+                    res['ends'], res['counts'],
+                    n_channels_total=self.const.n_channels_total,
+                    n_samples=T_cap, max_intervals=max_itv,
+                    max_records=max_records)
+                m_sl = packed['rec_meta'][:max(n_rec, 1)]
+                d_sl = packed['rec_data'][:max(n_rec, 1)]
                 for x in (m_sl, d_sl):
                     try:
                         x.copy_to_host_async()
