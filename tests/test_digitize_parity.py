@@ -83,7 +83,7 @@ def test_digitize_bitwise_parity(seed):
                            max_intervals=16)
     n_rec = int(resA['n_records'])
     packed = pack_records(resA['data'], resA['left_all'], resA['starts'],
-                          resA['ends'], resA['counts'],
+                          resA['ends'], resA['itv_valid'],
                           n_channels_total=const.n_channels_total,
                           n_samples=T, max_intervals=16,
                           max_records=2048)

@@ -53,7 +53,13 @@ def _kernel(w_ref, lim_ref, thr_ref, scal_ref,
     data_ref[:, :] = d.astype(jnp.int16)
 
     below = (d < thr) & in_win
-    csum = jnp.cumsum(below.astype(jnp.int32), axis=1)
+    # log-step prefix sum (Mosaic has no cumsum primitive)
+    csum = below.astype(jnp.int32)
+    sh = 1
+    while sh < T:
+        rolled = pltpu.roll(csum, sh, axis=1)
+        csum = csum + jnp.where(idx >= sh, rolled, 0)
+        sh *= 2
 
     # windowed-any via shifted cumulative sums (all static shapes)
     def shifted(x, k):
@@ -65,7 +71,7 @@ def _kernel(w_ref, lim_ref, thr_ref, scal_ref,
     # prev_cnt[i] = csum[i-1] - csum[i-h-1]
     prev_cnt = shifted(csum, 1) - shifted(csum, 1 + h)
     # next_cnt[i] = csum[min(i+h, T-1)] - csum[i]
-    fwd = pltpu.roll(csum, -h, axis=1)
+    fwd = pltpu.roll(csum, T - h, axis=1)   # roll left by h
     last = csum[:, T - 1][:, None]
     fwd = jnp.where(idx < T - h, fwd, last)
     next_cnt = fwd - csum
@@ -73,28 +79,21 @@ def _kernel(w_ref, lim_ref, thr_ref, scal_ref,
     start_m = below & (prev_cnt == 0)
     end_m = below & (next_cnt == 0)
 
-    # block-compress to one candidate per 64-sample block (ascending)
-    nb = T // _SUB
-    sub = jax.lax.broadcasted_iota(jnp.int32, (RB, nb, _SUB), 2)
-    base = jax.lax.broadcasted_iota(jnp.int32, (RB, nb, _SUB), 1) * _SUB
+    # block-compress via in-lane sliding minimum folds (Mosaic cannot split
+    # the lane dimension with a reshape); the wrapper strides out one
+    # candidate per 64-sample block afterwards
+    def compress_full(m):
+        x = jnp.where(m, idx, BIG)
+        sh = 1
+        while sh < _SUB:
+            rolled = pltpu.roll(x, T - sh, axis=1)  # left by sh
+            rolled = jnp.where(idx + sh < T, rolled, BIG)
+            x = jnp.minimum(x, rolled)
+            sh *= 2
+        return x
 
-    def compress(m):
-        cand = jnp.min(jnp.where(m.reshape(RB, nb, _SUB), base + sub, BIG),
-                       axis=2)
-        return cand
-
-    s_cand = compress(start_m)
-    e_cand = compress(end_m)
-
-    # trigger-window pad, clip to the channel window, even alignment
-    # (reference: rawdata.py:303-308), all relative to the channel left edge
-    length = (r - l + 1)
-    s_rel = jnp.clip(s_cand - l - trigger, 0, length - 1)
-    e_rel = jnp.clip(e_cand - l + trigger, 0, length - 1)
-    s_rel = ((s_rel + 1) // 2) * 2
-    e_rel = (e_rel // 2) * 2
-    starts_ref[:, :] = jnp.where(s_cand < BIG, s_rel, BIG)
-    ends_ref[:, :] = jnp.where(e_cand < BIG, e_rel, -BIG)
+    starts_ref[:, :] = compress_full(start_m)
+    ends_ref[:, :] = compress_full(end_m)
 
 
 @partial(jax.jit, static_argnames=('c2adc', 'baseline', 'holdoff',
@@ -132,7 +131,7 @@ def fused_adc_zle(W, ch_left, ch_right, mask, thresholds,
     scal = jnp.asarray([c2adc, float(baseline), float(holdoff),
                         float(trigger_window)], jnp.float32)
 
-    data, starts, ends = pl.pallas_call(
+    data, starts_f, ends_f = pl.pallas_call(
         _kernel,
         grid=(n_blocks,),
         in_specs=[
@@ -147,16 +146,31 @@ def fused_adc_zle(W, ch_left, ch_right, mask, thresholds,
         out_specs=[
             pl.BlockSpec((RB, T), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, nb), lambda i: (i, 0),
+            pl.BlockSpec((RB, T), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, nb), lambda i: (i, 0),
+            pl.BlockSpec((RB, T), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((R_pad, T), jnp.int16),
-            jax.ShapeDtypeStruct((R_pad, nb), jnp.int32),
-            jax.ShapeDtypeStruct((R_pad, nb), jnp.int32),
+            jax.ShapeDtypeStruct((R_pad, T), jnp.int32),
+            jax.ShapeDtypeStruct((R_pad, T), jnp.int32),
         ],
         interpret=interpret,
     )(Wp, lim, thr, scal)
-    return data[:R], starts[:R], ends[:R]
+    data = data[:R]
+    s_cand = starts_f[:R, ::_SUB]
+    e_cand = ends_f[:R, ::_SUB]
+
+    # trigger-window pad, clip to the channel window, even alignment
+    # (reference: rawdata.py:303-308), relative to the channel left edge
+    l = ch_left.astype(jnp.int32)[:, None]
+    r = ch_right.astype(jnp.int32)[:, None]
+    length = r - l + 1
+    s_rel = jnp.clip(s_cand - l - trigger_window, 0, length - 1)
+    e_rel = jnp.clip(e_cand - l + trigger_window, 0, length - 1)
+    s_rel = ((s_rel + 1) // 2) * 2
+    e_rel = (e_rel // 2) * 2
+    starts = jnp.where(s_cand < BIG, s_rel, BIG)
+    ends = jnp.where(e_cand < BIG, e_rel, -BIG)
+    return data, starts, ends

@@ -355,8 +355,6 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
                             valid.reshape(-1), 0, params.templates,
                             n_channels=B * C, n_samples=T,
                             sample_duration=dt)
-    adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
-    adc = adc.reshape(B, C, T)
 
     # ---- channel extents (flattened scatter) ----
     BIG = jnp.int32(2 ** 30)
@@ -374,110 +372,158 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     ch_left = jnp.clip(pl - const.trigger_window, 0, T - 1)
     ch_right = jnp.clip(pr + const.trigger_window, 0, T - 1)
 
-    # ---- assemble full digitizer grid (B, C_all, T) by block concatenation
-    he_on = (const.detector == 'XENONnT'
-             and const.he_channel_end >= const.he_channel_start)
-    n_top = const.n_top_pmts
-    he_lo = const.he_channel_start
-
-    blocks = [adc]
-    mask_blocks = [has]
-    left_blocks = [ch_left]
-    right_blocks = [ch_right]
-    if he_on:
-        gap1 = he_lo - C
-        adc_he = adc[:, :n_top] * const.high_energy_deamp_int
-        he_hi = he_lo + n_top
-        gap2 = const.sum_signal_channel - he_hi
-        bot_sum = jnp.sum(adc[:, n_top:] * const.high_energy_deamp_int,
-                          axis=1, keepdims=True)
-        z1 = jnp.zeros((B, gap1, T), jnp.int32)
-        z2 = jnp.zeros((B, gap2, T), jnp.int32)
-        blocks += [z1, adc_he, z2, bot_sum]
-        zb1 = jnp.zeros((B, gap1), bool)
-        zb2 = jnp.zeros((B, gap2), bool)
-        mask_blocks += [zb1, has[:, :n_top], zb2,
-                        jnp.zeros((B, 1), bool)]   # sum channel unmasked
-        zi1 = jnp.zeros((B, gap1), jnp.int32)
-        zi2 = jnp.zeros((B, gap2), jnp.int32)
-        left_blocks += [zi1, ch_left[:, :n_top], zi2, jnp.zeros((B, 1), jnp.int32)]
-        right_blocks += [zi1, ch_right[:, :n_top], zi2, jnp.zeros((B, 1), jnp.int32)]
-        n_rows = const.sum_signal_channel + 1
-    else:
-        n_rows = C
-
-    data = jnp.concatenate(blocks, axis=1)
-    mask = jnp.concatenate(mask_blocks, axis=1)
-    left_all = jnp.concatenate(left_blocks, axis=1)
-    right_all = jnp.concatenate(right_blocks, axis=1)
-    if n_rows < C_all:
-        pad = C_all - n_rows
-        data = jnp.concatenate([data, jnp.zeros((B, pad, T), jnp.int32)], axis=1)
-        mask = jnp.concatenate([mask, jnp.zeros((B, pad), bool)], axis=1)
-        left_all = jnp.concatenate([left_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
-        right_all = jnp.concatenate([right_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
-
-    idxT = jnp.arange(T, dtype=jnp.int32)
-    in_win = (idxT[None, None, :] >= left_all[:, :, None]) &              (idxT[None, None, :] <= right_all[:, :, None]) & mask[:, :, None]
-
-    # ---- noise overlay ----
-    if const.enable_noise and params.noise_data is not None:
-        L = params.noise_data.shape[0]
-        Cn = params.noise_data.shape[1]
-        nch = min(Cn, C_all)
-        lg = jnp.min(jnp.where(mask, left_all, BIG), axis=1)
-        rg = jnp.max(jnp.where(mask, right_all, -BIG), axis=1)
-        high = jnp.maximum(L - (rg - lg) - 1, 1)
-        u = jax.random.uniform(key, (B,))
-        noise_ix = (u * high.astype(jnp.float32)).astype(jnp.int32)
-        col = (noise_ix[:, None, None] + idxT[None, None, :]
-               - left_all[:, :nch, None]) % L
-        noise = params.noise_data[:, :nch].T[
-            jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
-        data = data.at[:, :nch].add(jnp.where(in_win[:, :nch], noise, 0))
-
-    # ---- baseline + saturation ----
-    data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
-    data = jnp.where(in_win, jnp.maximum(data, 0), data)
-
-    # ---- ZLE over flattened rows ----
-    zle_rows = C_all
-    if not const.enable_noise and const.high_energy_deamp_int == 0:
-        zle_rows = C
     holdoff = 2 * const.trigger_window + 1
-    zthr = jnp.broadcast_to(params.zle_thresholds[None, :zle_rows],
-                            (B, zle_rows)).reshape(-1)
-    starts, ends, counts = zle_all_channels(
-        data[:, :zle_rows].reshape(B * zle_rows, T), zthr,
-        left_all[:, :zle_rows].reshape(-1),
-        right_all[:, :zle_rows].reshape(-1),
-        mask[:, :zle_rows].reshape(-1),
-        holdoff=holdoff, trigger_window=const.trigger_window,
-        max_intervals=max_intervals)
-    starts = starts.reshape(B, zle_rows, max_intervals)
-    ends = ends.reshape(B, zle_rows, max_intervals)
-    counts = counts.reshape(B, zle_rows)
-    if zle_rows < C_all:
-        padr = C_all - zle_rows
-        starts = jnp.pad(starts, ((0, 0), (0, padr), (0, 0)))
-        ends = jnp.pad(ends, ((0, 0), (0, padr), (0, 0)))
-        counts = jnp.pad(counts, ((0, 0), (0, padr)))
+    use_pallas = (const.use_pallas_zle
+                  and not const.enable_noise
+                  and const.high_energy_deamp_int == 0
+                  and holdoff + 1 >= 64
+                  and T % 64 == 0
+                  and jax.default_backend() == 'tpu')
+
+    if use_pallas:
+        # single-pass fused ADC + ZLE kernel (ops/pallas_zle.py); HE and sum
+        # rows carry no signal in this regime, so only TPC rows are scanned
+        from ..ops.pallas_zle import fused_adc_zle, BIG as PBIG
+        thr_f = jnp.broadcast_to(params.zle_thresholds[None, :C],
+                                 (B, C)).reshape(-1)
+        data_tpc, s_m, e_m = fused_adc_zle(
+            W, ch_left.reshape(-1), ch_right.reshape(-1), has.reshape(-1),
+            thr_f, float(const.current_2_adc),
+            int(const.digitizer_reference_baseline),
+            holdoff=holdoff, trigger_window=const.trigger_window,
+            block_rows=128)
+        K = T // 64
+        pad_c = C_all - C
+        data = jnp.concatenate(
+            [data_tpc.reshape(B, C, T),
+             jnp.zeros((B, pad_c, T), jnp.int16)], axis=1)
+        left_all = jnp.concatenate(
+            [ch_left, jnp.zeros((B, pad_c), jnp.int32)], axis=1)
+        starts = jnp.concatenate(
+            [s_m.reshape(B, C, K),
+             jnp.full((B, pad_c, K), int(PBIG), jnp.int32)], axis=1)
+        e_raw = jnp.concatenate(
+            [e_m.reshape(B, C, K),
+             jnp.full((B, pad_c, K), -int(PBIG), jnp.int32)], axis=1)
+        # pair every start with the first end marker at/after its slot
+        # (markers are >= holdoff+1 apart, so pairing is unambiguous)
+        e_pad = jnp.where(e_raw > -int(PBIG), e_raw, int(PBIG))
+        ends = jnp.flip(jax.lax.cummin(jnp.flip(e_pad, axis=2), axis=2), axis=2)
+        itv_valid = starts < int(PBIG)
+    else:
+        adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
+        adc = adc.reshape(B, C, T)
+
+        # ---- assemble full digitizer grid (B, C_all, T) by concatenation
+        he_on = (const.detector == 'XENONnT'
+                 and const.he_channel_end >= const.he_channel_start)
+        n_top = const.n_top_pmts
+        he_lo = const.he_channel_start
+
+        blocks = [adc]
+        mask_blocks = [has]
+        left_blocks = [ch_left]
+        right_blocks = [ch_right]
+        if he_on:
+            gap1 = he_lo - C
+            adc_he = adc[:, :n_top] * const.high_energy_deamp_int
+            he_hi = he_lo + n_top
+            gap2 = const.sum_signal_channel - he_hi
+            bot_sum = jnp.sum(adc[:, n_top:] * const.high_energy_deamp_int,
+                              axis=1, keepdims=True)
+            z1 = jnp.zeros((B, gap1, T), jnp.int32)
+            z2 = jnp.zeros((B, gap2, T), jnp.int32)
+            blocks += [z1, adc_he, z2, bot_sum]
+            zb1 = jnp.zeros((B, gap1), bool)
+            zb2 = jnp.zeros((B, gap2), bool)
+            mask_blocks += [zb1, has[:, :n_top], zb2,
+                            jnp.zeros((B, 1), bool)]   # sum channel unmasked
+            zi1 = jnp.zeros((B, gap1), jnp.int32)
+            zi2 = jnp.zeros((B, gap2), jnp.int32)
+            left_blocks += [zi1, ch_left[:, :n_top], zi2,
+                            jnp.zeros((B, 1), jnp.int32)]
+            right_blocks += [zi1, ch_right[:, :n_top], zi2,
+                             jnp.zeros((B, 1), jnp.int32)]
+            n_rows = const.sum_signal_channel + 1
+        else:
+            n_rows = C
+
+        data = jnp.concatenate(blocks, axis=1)
+        mask = jnp.concatenate(mask_blocks, axis=1)
+        left_all = jnp.concatenate(left_blocks, axis=1)
+        right_all = jnp.concatenate(right_blocks, axis=1)
+        if n_rows < C_all:
+            pad = C_all - n_rows
+            data = jnp.concatenate([data, jnp.zeros((B, pad, T), jnp.int32)],
+                                   axis=1)
+            mask = jnp.concatenate([mask, jnp.zeros((B, pad), bool)], axis=1)
+            left_all = jnp.concatenate(
+                [left_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
+            right_all = jnp.concatenate(
+                [right_all, jnp.zeros((B, pad), jnp.int32)], axis=1)
+
+        idxT = jnp.arange(T, dtype=jnp.int32)
+        in_win = (idxT[None, None, :] >= left_all[:, :, None]) & \
+                 (idxT[None, None, :] <= right_all[:, :, None]) & mask[:, :, None]
+
+        # ---- noise overlay ----
+        if const.enable_noise and params.noise_data is not None:
+            L = params.noise_data.shape[0]
+            Cn = params.noise_data.shape[1]
+            nch = min(Cn, C_all)
+            lg = jnp.min(jnp.where(mask, left_all, BIG), axis=1)
+            rg = jnp.max(jnp.where(mask, right_all, -BIG), axis=1)
+            high = jnp.maximum(L - (rg - lg) - 1, 1)
+            u = jax.random.uniform(key, (B,))
+            noise_ix = (u * high.astype(jnp.float32)).astype(jnp.int32)
+            col = (noise_ix[:, None, None] + idxT[None, None, :]
+                   - left_all[:, :nch, None]) % L
+            noise = params.noise_data[:, :nch].T[
+                jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
+            data = data.at[:, :nch].add(jnp.where(in_win[:, :nch], noise, 0))
+
+        # ---- baseline + saturation ----
+        data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
+        data = jnp.where(in_win, jnp.maximum(data, 0), data)
+
+        # ---- ZLE over flattened rows ----
+        zle_rows = C_all
+        if not const.enable_noise and const.high_energy_deamp_int == 0:
+            zle_rows = C
+        zthr = jnp.broadcast_to(params.zle_thresholds[None, :zle_rows],
+                                (B, zle_rows)).reshape(-1)
+        K = max_intervals
+        starts, ends, counts = zle_all_channels(
+            data[:, :zle_rows].reshape(B * zle_rows, T), zthr,
+            left_all[:, :zle_rows].reshape(-1),
+            right_all[:, :zle_rows].reshape(-1),
+            mask[:, :zle_rows].reshape(-1),
+            holdoff=holdoff, trigger_window=const.trigger_window,
+            max_intervals=K)
+        starts = starts.reshape(B, zle_rows, K)
+        ends = ends.reshape(B, zle_rows, K)
+        counts = counts.reshape(B, zle_rows)
+        if zle_rows < C_all:
+            padr = C_all - zle_rows
+            starts = jnp.pad(starts, ((0, 0), (0, padr), (0, 0)))
+            ends = jnp.pad(ends, ((0, 0), (0, padr), (0, 0)))
+            counts = jnp.pad(counts, ((0, 0), (0, padr)))
+        kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        itv_valid = kk < counts[:, :, None]
+        data = data.astype(jnp.int16)
 
     # ---- record count (exact; lets the host size the pack kernel) ----
-    K = max_intervals
-    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    itv_valid = kk < counts[:, :, None]
     plen = jnp.where(itv_valid, ends - starts + 1, 0)
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
     total_rec = nrec.sum().astype(jnp.int32)
-    return dict(data=data.astype(jnp.int16), left_all=left_all,
-                starts=starts, ends=ends, counts=counts,
+    return dict(data=data, left_all=left_all,
+                starts=starts, ends=ends, itv_valid=itv_valid,
                 n_records=total_rec)
 
 
 @partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
                                    'max_intervals', 'max_records'))
-def pack_records(data, left_all, starts, ends, counts, *,
+def pack_records(data, left_all, starts, ends, itv_valid, *,
                  n_channels_total: int,
                  n_samples: int,
                  max_intervals: int,
@@ -488,10 +534,8 @@ def pack_records(data, left_all, starts, ends, counts, *,
     spr = SAMPLES_PER_RECORD
     T = n_samples
     C_all = n_channels_total
-    K = max_intervals
+    K = starts.shape[2]          # interval slots per channel (path-dependent)
 
-    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    itv_valid = kk < counts[:, :, None]
     plen = jnp.where(itv_valid, ends - starts + 1, 0)
     left_rel = left_all[:, :, None] + starts
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)

@@ -697,7 +697,7 @@ class RawDataTPU:
                 max_records = _bucket(max(n_rec, 1), lo=1024)
                 packed = pack_records(
                     res['data'], res['left_all'], res['starts'],
-                    res['ends'], res['counts'],
+                    res['ends'], res['itv_valid'],
                     n_channels_total=self.const.n_channels_total,
                     n_samples=T_cap, max_intervals=max_itv,
                     max_records=max_records)
