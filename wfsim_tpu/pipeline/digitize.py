@@ -378,6 +378,7 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
                   and const.high_energy_deamp_int == 0
                   and holdoff + 1 >= 64
                   and T % 64 == 0
+                  and T <= 16384     # VMEM row budget (ops/pallas_zle.py)
                   and jax.default_backend() == 'tpu')
 
     if use_pallas:
