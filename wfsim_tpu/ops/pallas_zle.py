@@ -112,9 +112,9 @@ def fused_adc_zle(W, ch_left, ch_right, mask, thresholds,
     assert T % _SUB == 0
     assert holdoff + 1 >= _SUB, 'block compression needs holdoff+1 >= 64'
     nb = T // _SUB
-    # VMEM budget: ~24 bytes/row-sample live in the kernel (f32 in, int16 +
-    # 2x int32 out, temporaries); keep the block under ~10 MB of VMEM
-    rows_fit = max(8, int(10e6 / (24 * T)) // 8 * 8)
+    # VMEM budget: ~56 bytes/row-sample live in the kernel (f32 in, int16 +
+    # 2x int32 out, and Mosaic temporaries across the roll chains)
+    rows_fit = max(8, int(9e6 / (56 * T)) // 8 * 8)
     RB = min(block_rows, rows_fit, R)
     n_blocks = -(-R // RB)
     R_pad = n_blocks * RB
