@@ -236,7 +236,7 @@ def default_config(detector: str = 'XENONnT', **overrides) -> dict:
         'n_chunk': 10,
         'right_raw_extension': 100000,
         'per_pmt_truth': False,
-        'use_pallas_zle': True,
+        'use_pallas_zle': False,
         'save_full_truth': True,
         'seed': False,
         'fax_file': None,

@@ -13,7 +13,11 @@ the output is one candidate slot per block, ascending, with BIG marking
 empty slots — exactly the representation the record packer consumes.
 
 Used by the digitize pipeline when ``use_pallas_zle`` is enabled; the XLA
-path (ops/zle.py) remains the reference implementation and the fallback.
+path (ops/zle.py) remains the reference implementation and the default:
+on the current tunnel-attached v5e the fused kernel measured slower end to
+end (the full-width marker outputs double the grid writes, and long windows
+force small row blocks) — it is kept as a validated building block for a
+future revision that emits compressed markers directly.
 """
 from __future__ import annotations
 
