@@ -184,3 +184,44 @@ def test_xenon1t_detector_end_to_end():
     assert len(rr) > 0
     assert rr['channel'].max() < 248
     assert 'raw_records_he' not in out
+
+
+def test_per_pmt_truth_end_to_end():
+    c = default_config(per_pmt_truth=True, seed=13)
+    inst = np.zeros(2, dtype=instruction_dtype)
+    inst['type'] = [1, 2]
+    inst['time'] = 40_000_000
+    inst['x'], inst['y'], inst['z'] = 5., 5., -40.
+    inst['amp'] = [3000, 200]
+    inst['recoil'] = 7
+    out = Simulator(c).get_arrays(inst)
+    truth = out['truth']
+    assert 'n_photon_per_pmt' in truth.dtype.names
+    per = truth['n_photon_per_pmt']
+    np.testing.assert_array_equal(per.sum(axis=1), truth['n_photon'])
+    assert 'raw_area_per_pmt' in truth.dtype.names
+    np.testing.assert_allclose(truth['raw_area_per_pmt'].sum(axis=1),
+                               truth['raw_area'], rtol=1e-3)
+
+
+def test_special_thresholds_end_to_end():
+    """A channel with a very high special threshold must produce no records
+    (reference: rawdata.py:290-294)."""
+    inst = np.zeros(2, dtype=instruction_dtype)
+    inst['type'] = 1
+    inst['time'] = [30_000_000, 60_000_000]
+    inst['x'], inst['y'], inst['z'] = 5., 5., -40.
+    inst['amp'] = 30000
+    inst['recoil'] = 7
+
+    base = Simulator(default_config(seed=17)).get_arrays(inst)
+    ch0 = int(base['raw_records']['channel'][0])
+    n_ch0 = int((base['raw_records']['channel'] == ch0).sum())
+    assert n_ch0 > 0
+
+    c2 = default_config(seed=17, special_thresholds={str(ch0): 20000})
+    out2 = Simulator(c2).get_arrays(inst)
+    assert int((out2['raw_records']['channel'] == ch0).sum()) == 0
+    # other channels unaffected
+    others = int((out2['raw_records']['channel'] != ch0).sum())
+    assert others > 0
