@@ -131,7 +131,10 @@ def measure_cpu_baseline(n_events=8, amp_s1=2000, amp_s2=300):
 
 def main():
     ev_s_tpu, ph_s_tpu, n_ph = measure_tpu()
-    ev_s_cpu, ph_s_cpu = measure_cpu_baseline()
+    # CPU baseline: best of two (host load makes single runs noisy)
+    a = measure_cpu_baseline()
+    b = measure_cpu_baseline()
+    ev_s_cpu, ph_s_cpu = max(a[0], b[0]), max(a[1], b[1])
     print(json.dumps({
         'metric': 'full S1+S2 events/sec (494ch, ~11k photons/event, '
                   'one TPU chip vs single-core numpy reference)',

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
-__all__ = ['digitize_window', 'digitize_pack_windows', 'gather_digitize',
-           'pack_records', 'SAMPLES_PER_RECORD']
+__all__ = ['digitize_window', 'gather_digitize', 'pack_records',
+           'SAMPLES_PER_RECORD']
 
 SAMPLES_PER_RECORD = 110
 
@@ -209,87 +209,6 @@ def _digitize_one(params, const, t, ch, gain, valid, key,
         counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
     return (data.astype(jnp.int16), mask, left_all, right_all,
             starts, ends, counts)
-
-
-@partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
-                                   'max_records'))
-def digitize_pack_windows(params, const, packed, key, *,
-                          n_samples: int,
-                          max_intervals: int = 64,
-                          max_records: int = 4096):
-    """Digitize a BATCH of windows and pack strax records on device.
-
-    This is the production path: one dispatch for many windows, and the only
-    device->host traffic is the packed record rows themselves (the reference
-    ships every waveform through python; the v1 path here shipped full
-    (801, T) grids, which the TPU tunnel cannot afford).
-
-    :param packed: (B, 3, N) int32 — per window: [t_rel_ns, channel, gain
-        bits (f32 bitcast)].  channel < 0 marks padding slots.
-    :returns: dict with
-        rec_data (max_records, SAMPLES_PER_RECORD) int16,
-        rec_meta (max_records, 6) int32 =
-            [window, channel, left_rel_samples, length, pulse_length,
-             record_i],
-        n_records (scalar), per-window zle counts (B,).
-    """
-    B = packed.shape[0]
-    spr = SAMPLES_PER_RECORD
-    T = n_samples
-    C_all = const.n_channels_total
-    keys = jax.random.split(key, B)
-
-    def one(pk, k):
-        t = pk[0]
-        ch = pk[1]
-        gain = jax.lax.bitcast_convert_type(pk[2], jnp.float32)
-        valid = ch >= 0
-        return _digitize_one(params, const, t, ch, gain, valid, k,
-                             n_samples=T, max_intervals=max_intervals)
-
-    data, mask, left_all, right_all, starts, ends, counts = \
-        jax.vmap(one)(packed, keys)
-
-    # ---- flatten intervals across (B, C_all, K) and assign record slots ----
-    K = max_intervals
-    kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    itv_valid = kk < counts[:, :, None]
-    plen = jnp.where(itv_valid, ends - starts + 1, 0)
-    left_rel = left_all[:, :, None] + starts          # window-relative samples
-    nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
-
-    nrec_f = nrec.reshape(-1)
-    csum = jnp.cumsum(nrec_f)
-    total = csum[-1]
-    r = jnp.arange(max_records, dtype=jnp.int32)
-    itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
-    itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
-    base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
-    record_i = (r - base).astype(jnp.int32)
-    rec_valid = r < total
-
-    w_of = itv_of_r // (C_all * K)
-    c_of = (itv_of_r // K) % C_all
-    plen_f = plen.reshape(-1)[itv_of_r]
-    left_f = left_rel.reshape(-1)[itv_of_r]
-
-    start_s = left_f + record_i * spr
-    length = jnp.clip(plen_f - record_i * spr, 0, spr)
-
-    # gather the record payloads from the batched grid
-    flat = data.reshape(-1)
-    col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
-    gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
-    rows = flat[gidx]
-    in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
-    rows = jnp.where(in_len & rec_valid[:, None], rows, 0).astype(jnp.int16)
-
-    meta = jnp.stack([
-        jnp.where(rec_valid, w_of, -1),
-        c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
-    return dict(rec_data=rows, rec_meta=meta,
-                n_records=total.astype(jnp.int32),
-                zle_counts=counts.sum(axis=1))
 
 
 @partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
