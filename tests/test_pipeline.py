@@ -225,3 +225,45 @@ def test_special_thresholds_end_to_end():
     # other channels unaffected
     others = int((out2['raw_records']['channel'] != ch0).sum())
     assert others > 0
+
+
+def test_fax_config_file_loading(tmp_path):
+    """Lenient fax-JSON loading (comments + trailing commas) through the
+    Simulator front end, like the reference's fax_config resolution."""
+    path = tmp_path / 'fax.json'
+    path.write_text('''
+// test fax config
+{
+    "s1_decay_time": 30.0,     # override
+    "s2_secondary_sc_gain": 25.0,
+}
+''')
+    sim = Simulator(default_config(), fax_config=str(path),
+                    fax_config_override={'s1_decay_spread': 7.0})
+    assert sim.config['s1_decay_time'] == 30.0
+    assert sim.config['s2_secondary_sc_gain'] == 25.0
+    assert sim.config['s1_decay_spread'] == 7.0
+
+
+def test_kr83m_double_s1():
+    """Two S1s 1.5 us apart (Kr83m-like IC doublet) land in one digitization
+    window and produce two distinct pulse groups in time."""
+    c = default_config(seed=23)
+    inst = np.zeros(2, dtype=instruction_dtype)
+    inst['type'] = 1
+    inst['time'] = [50_000_000, 50_001_500]
+    inst['x'], inst['y'], inst['z'] = 5., 5., -40.
+    inst['amp'] = [20000, 8000]
+    inst['recoil'] = 7
+    out = Simulator(c).get_arrays(inst)
+    truth = out['truth']
+    assert len(truth) == 2
+    rr = out['raw_records']
+    firsts = rr[rr['record_i'] == 0]
+    # pulses cluster around the two S1 times
+    t0s = firsts['time']
+    near_a = ((t0s > 49_999_000) & (t0s < 50_000_800)).sum()
+    near_b = ((t0s > 50_000_800) & (t0s < 50_003_000)).sum()
+    # channels where the two S1s resolve give a second pulse ~1.5 us later;
+    # channels where ZLE merges them give one long pulse
+    assert near_a > 50 and near_b > 20
