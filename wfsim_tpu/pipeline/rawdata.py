@@ -685,13 +685,15 @@ class RawDataTPU:
         self.diag.add('photons', sum(p.pool_count for p in pulses))
         self.diag.add('digitize_calls', len(calls))
 
-        # phase 1b: ONE tiny fetch of all record counts, then dispatch the
-        # exact-capacity pack kernels and stream their outputs back with
-        # async host copies
-        payloads = []
+        # phase 1b: ONE tiny fetch of all record counts (the trailer values),
+        # then slice each call's meta+payload ON DEVICE to its actual size,
+        # concatenate across calls, and fetch the whole chunk's records in
+        # exactly two transfers
+        payload_rows = []
         if calls:
             counts_h = np.asarray(jnp.stack(
                 [res['n_records'] for *_, res in calls]))
+            m_slices, d_slices, sizes = [], [], []
             for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
                 n_rec = int(counts_h[ci])
                 max_records = _bucket(max(n_rec, 1), lo=1024)
@@ -701,19 +703,20 @@ class RawDataTPU:
                     n_channels_total=self.const.n_channels_total,
                     n_samples=T_cap, max_intervals=max_itv,
                     max_records=max_records)
-                m_sl = packed['rec_meta'][:max(n_rec, 1)]
-                d_sl = packed['rec_data'][:max(n_rec, 1)]
-                for x in (m_sl, d_sl):
-                    try:
-                        x.copy_to_host_async()
-                    except Exception:
-                        pass
-                payloads.append((n_rec, m_sl, d_sl))
+                n = max(n_rec, 1)
+                m_slices.append(packed['rec_meta'][:n])
+                d_slices.append(packed['rec_data'][:n])
+                sizes.append((n_rec, n))
+            big_meta = np.asarray(jnp.concatenate(m_slices))
+            big_data = np.asarray(jnp.concatenate(d_slices))
+            o = 0
+            for n_rec, n in sizes:
+                payload_rows.append((n_rec, big_meta[o:o + n_rec],
+                                     big_data[o:o + n_rec]))
+                o += n
 
-        # phase 2: collect payloads and split per window
-        for (batch, *_), (n_rec, m_sl, d_sl) in zip(calls, payloads):
-            meta = np.asarray(m_sl)[:n_rec]
-            rdata = np.asarray(d_sl)[:n_rec]
+        # phase 2: split per window
+        for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
             # split records by window (meta col 0 ascending by design)
             bounds = np.searchsorted(meta[:, 0], np.arange(len(batch) + 1))
             for bi, wi in enumerate(batch):
