@@ -84,7 +84,7 @@ def test_digitize_bitwise_parity(seed):
     n_rec = int(resA['n_records'])
     packed = pack_records(resA['data'], resA['left_all'], resA['starts'],
                           resA['ends'], resA['itv_valid'],
-                          n_channels_total=const.n_channels_total,
+                          n_channels_total=int(resA['data'].shape[1]),
                           n_samples=T, max_intervals=16,
                           max_records=2048)
     meta = np.asarray(packed['rec_meta'])[:n_rec]

@@ -700,15 +700,23 @@ class RawDataTPU:
                 packed = pack_records(
                     res['data'], res['left_all'], res['starts'],
                     res['ends'], res['itv_valid'],
-                    n_channels_total=self.const.n_channels_total,
+                    # the slim digitize path returns TPC rows only
+                    n_channels_total=int(res['data'].shape[1]),
                     n_samples=T_cap, max_intervals=max_itv,
                     max_records=max_records)
                 n = max(n_rec, 1)
                 m_slices.append(packed['rec_meta'][:n])
                 d_slices.append(packed['rec_data'][:n])
                 sizes.append((n_rec, n))
-            big_meta = np.asarray(jnp.concatenate(m_slices))
-            big_data = np.asarray(jnp.concatenate(d_slices))
+            big_meta_d = jnp.concatenate(m_slices)
+            big_data_d = jnp.concatenate(d_slices)
+            for x in (big_meta_d, big_data_d):
+                try:
+                    x.copy_to_host_async()
+                except Exception:
+                    pass
+            big_meta = np.asarray(big_meta_d)
+            big_data = np.asarray(big_data_d)
             o = 0
             for n_rec, n in sizes:
                 payload_rows.append((n_rec, big_meta[o:o + n_rec],
