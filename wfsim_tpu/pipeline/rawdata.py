@@ -25,6 +25,7 @@ from per-batch/per-window bases.
 from __future__ import annotations
 
 import logging
+import time
 import typing as ty
 
 import numpy as np
@@ -59,6 +60,40 @@ _sim_s1_jit = jax.jit(simulate_s1, static_argnames=('const', 'capacity',
                                                     'n_truth_rows'))
 _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
                                                     'capacity', 'n_truth_rows'))
+
+
+def _fetch_in_slices(arrays, target_bytes=3_000_000):
+    """Fetch device arrays to host as many concurrently-started async copies.
+
+    The remote-TPU transport moves medium (~3 MB) buffers an order of
+    magnitude faster than one large buffer (measured 1.5 MB/s single-buffer
+    vs ~22 MB/s sliced on the axon tunnel); on directly-attached hardware
+    the slicing is a harmless no-op cost-wise.
+    """
+    all_slices = []
+    spans = []
+    for a in arrays:
+        n = int(a.shape[0])
+        k = max(1, int(round(a.nbytes / target_bytes))) if n > 1 else 1
+        k = min(k, n) if n else 1
+        bounds = np.linspace(0, n, k + 1).astype(int)
+        sl = [a[bounds[i]:bounds[i + 1]] for i in range(k)
+              if bounds[i + 1] > bounds[i]]
+        if not sl:
+            sl = [a]
+        spans.append(len(sl))
+        all_slices.extend(sl)
+    for s in all_slices:
+        try:
+            s.copy_to_host_async()
+        except Exception:
+            pass
+    out, o = [], 0
+    for k in spans:
+        parts = [np.asarray(s) for s in all_slices[o:o + k]]
+        out.append(parts[0] if k == 1 else np.concatenate(parts, axis=0))
+        o += k
+    return out
 
 
 class _Pulse(ty.NamedTuple):
@@ -668,6 +703,7 @@ class RawDataTPU:
 
         # phase 1: dispatch every digitize batch (compute pipelines)
         calls = []
+        t_disp0 = time.perf_counter()
         for (T_cap, n_cap, p_cap), indices in buckets.items():
             # batch size bounded by HBM: the phase histogram dominates at
             # n_tpc_pmts * T * 10 * 4 bytes per window (plus the int grid)
@@ -684,6 +720,7 @@ class RawDataTPU:
         self.diag.add('windows', len(wins))
         self.diag.add('photons', sum(p.pool_count for p in pulses))
         self.diag.add('digitize_calls', len(calls))
+        self.diag.seconds['digitize_dispatch'] += time.perf_counter() - t_disp0
 
         # phase 1b: ONE tiny fetch of all record counts (the trailer values),
         # then slice each call's meta+payload ON DEVICE to its actual size,
@@ -691,8 +728,12 @@ class RawDataTPU:
         # exactly two transfers
         payload_rows = []
         if calls:
+            t0 = time.perf_counter()
             counts_h = np.asarray(jnp.stack(
                 [res['n_records'] for *_, res in calls]))
+            self.diag.seconds['digitize_counts_fetch'] += \
+                time.perf_counter() - t0
+            t0 = time.perf_counter()
             m_slices, d_slices, sizes = [], [], []
             for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
                 n_rec = int(counts_h[ci])
@@ -710,13 +751,17 @@ class RawDataTPU:
                 sizes.append((n_rec, n))
             big_meta_d = jnp.concatenate(m_slices)
             big_data_d = jnp.concatenate(d_slices)
-            for x in (big_meta_d, big_data_d):
-                try:
-                    x.copy_to_host_async()
-                except Exception:
-                    pass
-            big_meta = np.asarray(big_meta_d)
-            big_data = np.asarray(big_data_d)
+            self.diag.seconds['digitize_pack_dispatch'] += \
+                time.perf_counter() - t0
+            t0 = time.perf_counter()
+            # the tunnel transfers ~2-4 MB pieces 10-15x faster than one big
+            # buffer (measured: 1.5 MB/s single vs ~22 MB/s at 3 MB slices),
+            # so fetch the payload as many concurrently-started async copies
+            big_meta, big_data = _fetch_in_slices([big_meta_d, big_data_d])
+            self.diag.seconds['digitize_payload_fetch'] += \
+                time.perf_counter() - t0
+            self.diag.add('payload_bytes',
+                          big_meta.nbytes + big_data.nbytes)
             o = 0
             for n_rec, n in sizes:
                 payload_rows.append((n_rec, big_meta[o:o + n_rec],
@@ -724,6 +769,7 @@ class RawDataTPU:
                 o += n
 
         # phase 2: split per window
+        t_split0 = time.perf_counter()
         for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
             # split records by window (meta col 0 ascending by design)
             bounds = np.searchsorted(meta[:, 0], np.arange(len(batch) + 1))
@@ -740,6 +786,8 @@ class RawDataTPU:
                 recs['data'] = rdata[bounds[bi]:bounds[bi + 1]]
                 results[wi] = recs
                 self.diag.add('records', len(recs))
+        self.diag.seconds['digitize_host_split'] += \
+            time.perf_counter() - t_split0
 
         for wi, w in enumerate(wins):
             self.left = w['win_left']
