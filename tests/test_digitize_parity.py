@@ -108,3 +108,55 @@ def test_digitize_bitwise_parity(seed):
             assert got[3] == ref[3], (cch, 'record_i')
             np.testing.assert_array_equal(got[4], ref[4].astype(np.int16),
                                           err_msg=f'channel {cch} payload')
+
+
+@pytest.mark.parametrize('seed', [0, 3])
+def test_encoded_transport_matches_dense_pack(seed):
+    """pack_records_encoded + decode_records must reproduce pack_records'
+    dense payload bit-for-bit (the wire encoding is lossless)."""
+    from wfsim_tpu.pipeline.digitize import (pack_records_encoded,
+                                             decode_records)
+    c = default_config()
+    res = load_config(c)
+    params = build_params(c, res)
+    const = build_constants(c)
+
+    rng = np.random.default_rng(seed)
+    T = 1024
+    n = 400
+    t = rng.integers(1500, T * 10 - 3000, n).astype(np.int64)
+    ch = rng.integers(0, 32, n).astype(np.int32)
+    gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+
+    pieces = np.zeros((1, 4, 3), np.int32)
+    pieces[0, 0] = (0, n, 0)
+    resA = gather_digitize(params, const,
+                           jnp.asarray(t.astype(np.int32)), jnp.asarray(ch),
+                           jnp.asarray(gain), jnp.asarray(pieces),
+                           jax.random.key(0),
+                           n_samples=T, n_pieces=4, n_cap=512,
+                           max_intervals=16)
+    n_rec = int(resA['n_records'])
+    n_val = int(resA['n_values'])
+    assert n_rec > 0
+    kw = dict(n_channels_total=int(resA['data'].shape[1]),
+              n_samples=T, max_intervals=16, max_records=2048)
+    dense = pack_records(resA['data'], resA['left_all'], resA['starts'],
+                         resA['ends'], resA['itv_valid'], **kw)
+    enc = pack_records_encoded(resA['data'], resA['left_all'],
+                               resA['starts'], resA['ends'],
+                               resA['itv_valid'], max_values=65536,
+                               baseline=int(c['digitizer_reference_baseline']),
+                               **kw)
+    meta_d = np.asarray(dense['rec_meta'])[:n_rec]
+    meta_e = np.asarray(enc['rec_meta'])[:n_rec]
+    np.testing.assert_array_equal(meta_d, meta_e)
+    # n_values from gather_digitize must match the encoder's actual count
+    masks = np.asarray(enc['rec_masks'])[:n_rec]
+    nnz = int(np.unpackbits(masks, axis=1, count=110).sum())
+    assert nnz == n_val, (nnz, n_val)
+    decoded = decode_records(meta_e, masks,
+                             np.asarray(enc['rec_values'])[:n_val],
+                             int(c['digitizer_reference_baseline']))
+    np.testing.assert_array_equal(decoded,
+                                  np.asarray(dense['rec_data'])[:n_rec])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,7 +25,7 @@ from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
 __all__ = ['digitize_window', 'gather_digitize', 'pack_records',
-           'SAMPLES_PER_RECORD']
+           'pack_records_encoded', 'decode_records', 'SAMPLES_PER_RECORD']
 
 SAMPLES_PER_RECORD = 110
 
@@ -465,9 +466,26 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     plen = jnp.where(itv_valid, ends - starts + 1, 0)
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
     total_rec = nrec.sum().astype(jnp.int32)
+
+    # ---- exact count of record samples that differ from the predicted row
+    # (baseline inside the pulse, zero in the tail pad) — sizes the encoded
+    # transport's value buffer; rides the same tiny counts fetch.
+    rows = data.shape[1]
+    neq = (data != const.digitizer_reference_baseline).astype(jnp.int32)
+    csum_neq = jnp.concatenate(
+        [jnp.zeros((B * rows, 1), jnp.int32),
+         jnp.cumsum(neq.reshape(B * rows, -1), axis=1)], axis=1)
+    a = (left_all[:, :, None] + starts).reshape(B * rows, -1)
+    b = a + plen.reshape(B * rows, -1)
+    a = jnp.clip(a, 0, T)
+    b = jnp.clip(b, 0, T)
+    nnz_itv = (jnp.take_along_axis(csum_neq, b, axis=1)
+               - jnp.take_along_axis(csum_neq, a, axis=1))
+    total_nnz = jnp.where(itv_valid.reshape(B * rows, -1), nnz_itv,
+                          0).sum().astype(jnp.int32)
     return dict(data=data, left_all=left_all,
                 starts=starts, ends=ends, itv_valid=itv_valid,
-                n_records=total_rec)
+                n_records=total_rec, n_values=total_nnz)
 
 
 @partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
@@ -518,3 +536,95 @@ def pack_records(data, left_all, starts, ends, itv_valid, *,
         jnp.where(rec_valid, w_of, -1),
         c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
     return dict(rec_data=rws, rec_meta=meta)
+
+
+@partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
+                                   'max_intervals', 'max_records',
+                                   'max_values', 'baseline'))
+def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
+                         n_channels_total: int,
+                         n_samples: int,
+                         max_intervals: int,
+                         max_records: int,
+                         max_values: int,
+                         baseline: int):
+    """Pack ZLE intervals into records in *encoded transport* form.
+
+    Instead of the dense (max_records, 110) int16 payload, emits per record a
+    110-bit mask of samples that differ from the predicted row — baseline
+    inside the pulse, zero in the tail pad — plus the differing values
+    compacted row-major into one buffer. Noise-free pulses are ~65% exactly
+    baseline + ~17% tail pad, so the wire payload shrinks ~3x; the host
+    reverses it with `decode_records` (three vectorized numpy ops). Exact by
+    construction for any input (coincidental baseline-valued signal samples
+    simply ride the prediction).
+    """
+    spr = SAMPLES_PER_RECORD
+    T = n_samples
+    C_all = n_channels_total
+    K = starts.shape[2]
+
+    plen = jnp.where(itv_valid, ends - starts + 1, 0)
+    left_rel = left_all[:, :, None] + starts
+    nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
+
+    nrec_f = nrec.reshape(-1)
+    csum = jnp.cumsum(nrec_f)
+    total_rec = csum[-1]
+    r = jnp.arange(max_records, dtype=jnp.int32)
+    itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
+    itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
+    base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
+    record_i = (r - base).astype(jnp.int32)
+    rec_valid = r < total_rec
+
+    w_of = itv_of_r // (C_all * K)
+    c_of = (itv_of_r // K) % C_all
+    plen_f = plen.reshape(-1)[itv_of_r]
+    left_f = left_rel.reshape(-1)[itv_of_r]
+
+    start_s = left_f + record_i * spr
+    length = jnp.clip(plen_f - record_i * spr, 0, spr)
+
+    flat = data.reshape(-1).astype(jnp.int16)
+    col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
+    gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
+    rws = flat[gidx]
+    in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
+    rws = jnp.where(in_len & rec_valid[:, None], rws, 0).astype(jnp.int16)
+
+    # ---- encode: mask of samples differing from the predicted row ----
+    pred = jnp.where(in_len, jnp.int16(baseline), jnp.int16(0))
+    dm = (rws != pred) & rec_valid[:, None]                   # (R, 110)
+    dm_p = jnp.pad(dm, ((0, 0), (0, 112 - spr)))              # bit-pad to 112
+    bits = dm_p.reshape(max_records, 14, 8)
+    w8 = (2 ** (7 - jnp.arange(8, dtype=jnp.int32)))          # big-endian,
+    masks = jnp.sum(bits * w8[None, None, :], axis=2).astype(jnp.uint8)
+    #                                           matches np.unpackbits default
+
+    # compact differing values row-major (matches numpy boolean assignment)
+    m_f = dm.reshape(-1)
+    dest = jnp.cumsum(m_f.astype(jnp.int32)) - 1
+    dest = jnp.where(m_f, dest, max_values)                   # drop non-diff
+    values = jnp.zeros(max_values, jnp.int16).at[dest].set(
+        rws.reshape(-1), mode='drop')
+
+    meta = jnp.stack([
+        jnp.where(rec_valid, w_of, -1),
+        c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
+    return dict(rec_meta=meta, rec_masks=masks, rec_values=values)
+
+
+def decode_records(meta, masks, values, baseline):
+    """Host-side inverse of `pack_records_encoded` (numpy, vectorized):
+    rebuild the (n, 110) int16 record payload from meta lengths, difference
+    bitmasks and compacted differing values."""
+    n = len(meta)
+    spr = SAMPLES_PER_RECORD
+    length = meta[:, 3]
+    out = np.where(np.arange(spr, dtype=np.int32)[None, :] < length[:, None],
+                   np.int16(baseline), np.int16(0))
+    if n:
+        mb = np.unpackbits(masks, axis=1, count=spr).astype(bool)
+        out[mb] = values
+    return out

@@ -620,7 +620,8 @@ class RawDataTPU:
         (gathering photons straight from the device arena) with on-device
         record packing, and yield per-window record arrays in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
-        from .digitize import gather_digitize, pack_records
+        from .digitize import (gather_digitize, pack_records_encoded,
+                               decode_records)
 
         if not self._pulses:
             return
@@ -730,43 +731,58 @@ class RawDataTPU:
         if calls:
             t0 = time.perf_counter()
             counts_h = np.asarray(jnp.stack(
-                [res['n_records'] for *_, res in calls]))
+                [jnp.stack([res['n_records'], res['n_values']])
+                 for *_, res in calls]))
             self.diag.seconds['digitize_counts_fetch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
-            m_slices, d_slices, sizes = [], [], []
+            baseline = int(self.const.digitizer_reference_baseline)
+            m_slices, k_slices, v_slices, sizes = [], [], [], []
             for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
-                n_rec = int(counts_h[ci])
+                n_rec = int(counts_h[ci, 0])
+                n_val = int(counts_h[ci, 1])
                 max_records = _bucket(max(n_rec, 1), lo=1024)
-                packed = pack_records(
+                max_values = _bucket(max(n_val, 1), lo=4096)
+                packed = pack_records_encoded(
                     res['data'], res['left_all'], res['starts'],
                     res['ends'], res['itv_valid'],
                     # the slim digitize path returns TPC rows only
                     n_channels_total=int(res['data'].shape[1]),
                     n_samples=T_cap, max_intervals=max_itv,
-                    max_records=max_records)
+                    max_records=max_records, max_values=max_values,
+                    baseline=baseline)
                 n = max(n_rec, 1)
+                nv = max(n_val, 1)
                 m_slices.append(packed['rec_meta'][:n])
-                d_slices.append(packed['rec_data'][:n])
-                sizes.append((n_rec, n))
+                k_slices.append(packed['rec_masks'][:n])
+                v_slices.append(packed['rec_values'][:nv])
+                sizes.append((n_rec, n, n_val, nv))
             big_meta_d = jnp.concatenate(m_slices)
-            big_data_d = jnp.concatenate(d_slices)
+            big_mask_d = jnp.concatenate(k_slices)
+            big_val_d = jnp.concatenate(v_slices)
             self.diag.seconds['digitize_pack_dispatch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             # the tunnel transfers ~2-4 MB pieces 10-15x faster than one big
             # buffer (measured: 1.5 MB/s single vs ~22 MB/s at 3 MB slices),
             # so fetch the payload as many concurrently-started async copies
-            big_meta, big_data = _fetch_in_slices([big_meta_d, big_data_d])
+            big_meta, big_mask, big_val = _fetch_in_slices(
+                [big_meta_d, big_mask_d, big_val_d])
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
             self.diag.add('payload_bytes',
-                          big_meta.nbytes + big_data.nbytes)
-            o = 0
-            for n_rec, n in sizes:
-                payload_rows.append((n_rec, big_meta[o:o + n_rec],
-                                     big_data[o:o + n_rec]))
+                          big_meta.nbytes + big_mask.nbytes + big_val.nbytes)
+            o = ov = 0
+            t0 = time.perf_counter()
+            for n_rec, n, n_val, nv in sizes:
+                meta = big_meta[o:o + n_rec]
+                rdata = decode_records(meta, big_mask[o:o + n_rec],
+                                       big_val[ov:ov + n_val], baseline)
+                payload_rows.append((n_rec, meta, rdata))
                 o += n
+                ov += nv
+            self.diag.seconds['digitize_decode'] += \
+                time.perf_counter() - t0
 
         # phase 2: split per window
         t_split0 = time.perf_counter()
