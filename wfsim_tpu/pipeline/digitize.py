@@ -602,12 +602,17 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     masks = jnp.sum(bits * w8[None, None, :], axis=2).astype(jnp.uint8)
     #                                           matches np.unpackbits default
 
-    # compact differing values row-major (matches numpy boolean assignment)
+    # compact differing values row-major (matches numpy boolean assignment);
+    # gather formulation — src of the i-th value is the position of the i-th
+    # set mask bit, found by binary search on the mask cumsum (TPU lowers
+    # gathers far better than big scatters)
     m_f = dm.reshape(-1)
-    dest = jnp.cumsum(m_f.astype(jnp.int32)) - 1
-    dest = jnp.where(m_f, dest, max_values)                   # drop non-diff
-    values = jnp.zeros(max_values, jnp.int16).at[dest].set(
-        rws.reshape(-1), mode='drop')
+    csum_m = jnp.cumsum(m_f.astype(jnp.int32))
+    vq = jnp.arange(1, max_values + 1, dtype=jnp.int32)
+    src = jnp.searchsorted(csum_m, vq, side='left').astype(jnp.int32)
+    src = jnp.clip(src, 0, m_f.shape[0] - 1)
+    valid_v = vq <= csum_m[-1]
+    values = jnp.where(valid_v, rws.reshape(-1)[src], 0).astype(jnp.int16)
 
     meta = jnp.stack([
         jnp.where(rec_valid, w_of, -1),

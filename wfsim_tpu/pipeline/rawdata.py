@@ -62,16 +62,17 @@ _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
                                                     'capacity', 'n_truth_rows'))
 
 
-def _fetch_in_slices(arrays, target_bytes=3_000_000):
-    """Fetch device arrays to host as many concurrently-started async copies.
+def _start_sliced_copies(arrays, target_bytes=3_000_000):
+    """Begin async device->host copies of `arrays` in ~3 MB slices; returns
+    a token for `_collect_sliced`.
 
     The remote-TPU transport moves medium (~3 MB) buffers an order of
     magnitude faster than one large buffer (measured 1.5 MB/s single-buffer
     vs ~22 MB/s sliced on the axon tunnel); on directly-attached hardware
-    the slicing is a harmless no-op cost-wise.
+    the slicing is a harmless no-op cost-wise. Splitting start/collect lets
+    the caller overlap host-side work on early arrays with later transfers.
     """
-    all_slices = []
-    spans = []
+    token = []
     for a in arrays:
         n = int(a.shape[0])
         k = max(1, int(round(a.nbytes / target_bytes))) if n > 1 else 1
@@ -81,19 +82,29 @@ def _fetch_in_slices(arrays, target_bytes=3_000_000):
               if bounds[i + 1] > bounds[i]]
         if not sl:
             sl = [a]
-        spans.append(len(sl))
-        all_slices.extend(sl)
-    for s in all_slices:
-        try:
-            s.copy_to_host_async()
-        except Exception:
-            pass
-    out, o = [], 0
-    for k in spans:
-        parts = [np.asarray(s) for s in all_slices[o:o + k]]
-        out.append(parts[0] if k == 1 else np.concatenate(parts, axis=0))
-        o += k
+        for s in sl:
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass
+        token.append(sl)
+    return token
+
+
+def _collect_sliced(token):
+    """Block on and reassemble arrays whose copies were started by
+    `_start_sliced_copies`."""
+    out = []
+    for sl in token:
+        parts = [np.asarray(s) for s in sl]
+        out.append(parts[0] if len(parts) == 1
+                   else np.concatenate(parts, axis=0))
     return out
+
+
+def _fetch_in_slices(arrays, target_bytes=3_000_000):
+    """One-shot sliced fetch (start + collect)."""
+    return _collect_sliced(_start_sliced_copies(arrays, target_bytes))
 
 
 class _Pulse(ty.NamedTuple):
@@ -737,7 +748,7 @@ class RawDataTPU:
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             baseline = int(self.const.digitizer_reference_baseline)
-            m_slices, k_slices, v_slices, sizes = [], [], [], []
+            sizes = []
             for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
                 n_rec = int(counts_h[ci, 0])
                 n_val = int(counts_h[ci, 1])
@@ -753,36 +764,28 @@ class RawDataTPU:
                     baseline=baseline)
                 n = max(n_rec, 1)
                 nv = max(n_val, 1)
-                m_slices.append(packed['rec_meta'][:n])
-                k_slices.append(packed['rec_masks'][:n])
-                v_slices.append(packed['rec_values'][:nv])
-                sizes.append((n_rec, n, n_val, nv))
-            big_meta_d = jnp.concatenate(m_slices)
-            big_mask_d = jnp.concatenate(k_slices)
-            big_val_d = jnp.concatenate(v_slices)
+                # start the async wire copies for this call immediately —
+                # transfers of early calls overlap pack compute of later
+                # ones, and the collect loop below overlaps decode with the
+                # transfers still in flight
+                tok = _start_sliced_copies([packed['rec_meta'][:n],
+                                            packed['rec_masks'][:n],
+                                            packed['rec_values'][:nv]])
+                sizes.append((n_rec, n_val, tok))
             self.diag.seconds['digitize_pack_dispatch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
-            # the tunnel transfers ~2-4 MB pieces 10-15x faster than one big
-            # buffer (measured: 1.5 MB/s single vs ~22 MB/s at 3 MB slices),
-            # so fetch the payload as many concurrently-started async copies
-            big_meta, big_mask, big_val = _fetch_in_slices(
-                [big_meta_d, big_mask_d, big_val_d])
+            nbytes = 0
+            for n_rec, n_val, tok in sizes:
+                meta, masks, vals = _collect_sliced(tok)
+                nbytes += meta.nbytes + masks.nbytes + vals.nbytes
+                meta = meta[:n_rec]
+                rdata = decode_records(meta, masks[:n_rec],
+                                       vals[:n_val], baseline)
+                payload_rows.append((n_rec, meta, rdata))
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
-            self.diag.add('payload_bytes',
-                          big_meta.nbytes + big_mask.nbytes + big_val.nbytes)
-            o = ov = 0
-            t0 = time.perf_counter()
-            for n_rec, n, n_val, nv in sizes:
-                meta = big_meta[o:o + n_rec]
-                rdata = decode_records(meta, big_mask[o:o + n_rec],
-                                       big_val[ov:ov + n_val], baseline)
-                payload_rows.append((n_rec, meta, rdata))
-                o += n
-                ov += nv
-            self.diag.seconds['digitize_decode'] += \
-                time.perf_counter() - t0
+            self.diag.add('payload_bytes', nbytes)
 
         # phase 2: split per window
         t_split0 = time.perf_counter()
