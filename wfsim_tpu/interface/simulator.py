@@ -107,7 +107,8 @@ class Simulator:
             for k, v in chunk.items():
                 if isinstance(v, np.ndarray):
                     outs.setdefault(k, []).append(v)
-        return {k: np.concatenate(v) for k, v in outs.items()}
+        return {k: (v[0] if len(v) == 1 else np.concatenate(v))
+                for k, v in outs.items()}
 
     def source_finished(self):
         return self.sim.source_finished()

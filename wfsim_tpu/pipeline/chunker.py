@@ -108,8 +108,17 @@ class ChunkRawRecords:
     def final_results(self):
         records = self.record_buffer[:self.blevel]
         maska = records['time'] <= self.chunk_time
-        records = records[maska]
-        records = sort_by_time(records)
+        n_keep = int(maska.sum())
+        if n_keep < len(records):
+            records = records[maska]
+        else:
+            records = records.copy()   # detach from the reused buffer
+        # records arrive time-sorted from the device pack (disjoint windows x
+        # per-window (time, channel)-sorted emission) — structured-array
+        # sorts run at ~100 MB/s on host, so only sort when an edge case
+        # actually broke the order
+        if len(records) > 1 and np.diff(records['time']).min() < 0:
+            records = sort_by_time(records)
 
         maskb = (
             self.truth_buffer['fill']
@@ -132,12 +141,20 @@ class ChunkRawRecords:
         elif self.config['detector'] == 'XENONnT':
             he_lo = self.config['channel_map']['he'][0]
             he_hi = self.config['channel_map']['he'][-1]
-            yield dict(
-                raw_records=records[records['channel'] < he_lo],
-                raw_records_he=records[(records['channel'] >= he_lo)
-                                       & (records['channel'] <= he_hi)],
-                raw_records_aqmon=records[records['channel'] == 800],
-                truth=_truth)
+            ch_max = int(records['channel'].max()) if len(records) else -1
+            if ch_max < he_lo:
+                # common (no-noise) regime: all records are TPC-only — skip
+                # three full-array mask copies
+                empty = records[:0]
+                yield dict(raw_records=records, raw_records_he=empty,
+                           raw_records_aqmon=empty, truth=_truth)
+            else:
+                yield dict(
+                    raw_records=records[records['channel'] < he_lo],
+                    raw_records_he=records[(records['channel'] >= he_lo)
+                                           & (records['channel'] <= he_hi)],
+                    raw_records_aqmon=records[records['channel'] == 800],
+                    truth=_truth)
 
         self.record_buffer[:np.sum(~maska)] = \
             self.record_buffer[:self.blevel][~maska]

@@ -525,6 +525,16 @@ def pack_records(data, left_all, starts, ends, itv_valid, *,
     start_s = left_f + record_i * spr
     length = jnp.clip(plen_f - record_i * spr, 0, spr)
 
+    # time-sorted emission (same ordering as pack_records_encoded)
+    w_key = jnp.where(rec_valid, w_of, jnp.int32(2 ** 30))
+    perm = jnp.lexsort((c_of, start_s, w_key))
+    w_of = w_of[perm]
+    c_of = c_of[perm]
+    start_s = start_s[perm]
+    length = length[perm]
+    plen_f = plen_f[perm]
+    record_i = record_i[perm]
+
     flat = data.reshape(-1).astype(jnp.int16)
     col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
     gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
@@ -585,6 +595,19 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
 
     start_s = left_f + record_i * spr
     length = jnp.clip(plen_f - record_i * spr, 0, spr)
+
+    # ---- emit records time-sorted: (window, start sample, channel) ----
+    # Windows are disjoint ascending time spans, so per-call sorted output
+    # makes the whole stream sorted and the host never has to re-sort (a
+    # structured-array sort of ~1M 254-byte records costs seconds on host).
+    w_key = jnp.where(rec_valid, w_of, jnp.int32(2 ** 30))
+    perm = jnp.lexsort((c_of, start_s, w_key))
+    w_of = w_of[perm]
+    c_of = c_of[perm]
+    start_s = start_s[perm]
+    length = length[perm]
+    plen_f = plen_f[perm]
+    record_i = record_i[perm]
 
     flat = data.reshape(-1).astype(jnp.int16)
     col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]

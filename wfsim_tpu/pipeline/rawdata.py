@@ -515,6 +515,11 @@ class RawDataTPU:
         for win in self.iter_windows(instructions, truth_buffer, **kwargs):
             recs = win['records']
             dt = self.const.sample_duration
+            if len(recs):
+                # windows stream time-sorted; regroup per channel so the
+                # records of one pulse are adjacent again (stable sort keeps
+                # the per-channel time order, hence record_i order)
+                recs = recs[np.argsort(recs['channel'], kind='stable')]
             i = 0
             n = len(recs)
             while i < n:
