@@ -26,9 +26,22 @@ def binomial(key, n, p):
     return jnp.where((n <= 0) | (p <= 0), 0.0, out).astype(jnp.int32)
 
 
+def _threefry_key(key):
+    """jax.random.poisson is threefry-only; when the session runs a faster
+    default PRNG (e.g. rbg, which maps to the TPU hardware generator), fold
+    the key's data into a threefry key just for the poisson draw."""
+    try:
+        if 'threefry' in str(jax.random.key_impl(key)):
+            return key
+        data = jax.random.key_data(key).reshape(-1)[:2]
+        return jax.random.wrap_key_data(data, impl='threefry2x32')
+    except Exception:
+        return key
+
+
 def poisson(key, lam):
     lam = jnp.asarray(lam, dtype=jnp.float32)
-    out = jax.random.poisson(key, jnp.maximum(lam, 0.0))
+    out = jax.random.poisson(_threefry_key(key), jnp.maximum(lam, 0.0))
     return jnp.where(lam <= 0, 0, out).astype(jnp.int32)
 
 
