@@ -201,8 +201,22 @@ def luminescence_simple(params, const, key, xy, ph_inst, ph_valid):
     t_cum = t_cum - avgt[:, None]
     y_last = y_cum[:, -1]
 
-    u = jax.random.uniform(key, ph_inst.shape) * y_last[ph_inst]
-    t_ph = _interp_rows(y_cum, t_cum, ph_inst, u)
+    # Resample each instruction's inverse CDF onto a uniform quantile grid
+    # once (I x Q lerp queries on the fine ~5k-point tables), then photons
+    # sample with two gathers + lerp instead of a log2(5k)-round binary
+    # search each — ~2.5x fewer random HBM gathers at bench shapes.
+    Q = 1024
+    n_i = xy.shape[0]
+    qs = jnp.linspace(0.0, 1.0, Q, dtype=jnp.float32)
+    rq = jnp.repeat(jnp.arange(n_i, dtype=jnp.int32), Q)
+    uq = (qs[None, :] * y_last[:, None]).reshape(-1)
+    inv = _interp_rows(y_cum, t_cum, rq, uq).reshape(n_i, Q)
+
+    u = jax.random.uniform(key, ph_inst.shape) * (Q - 1)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, Q - 1)
+    w = u - i0
+    t_ph = inv[ph_inst, i0] * (1 - w) + inv[ph_inst, i1] * w
     return trunc_int(jnp.where(ph_valid, t_ph, 0.0))
 
 
