@@ -151,10 +151,12 @@ def test_encoded_transport_matches_dense_pack(seed):
     meta_d = np.asarray(dense['rec_meta'])[:n_rec]
     meta_e = np.asarray(enc['rec_meta'])[:n_rec]
     np.testing.assert_array_equal(meta_d, meta_e)
-    # n_values from gather_digitize must match the encoder's actual count
+    # n_values from gather_digitize is an upper bound on (and in the exact
+    # regimes equal to) the encoder's actual count
     masks = np.asarray(enc['rec_masks'])[:n_rec]
     nnz = int(np.unpackbits(masks, axis=1, count=110).sum())
-    assert nnz == n_val, (nnz, n_val)
+    assert nnz <= n_val, (nnz, n_val)
+    assert n_val <= int(1.1 * nnz) + 64, (nnz, n_val)
     decoded = decode_records(meta_e, masks,
                              np.asarray(enc['rec_values'])[:n_val],
                              int(c['digitizer_reference_baseline']))

@@ -467,22 +467,39 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
     total_rec = nrec.sum().astype(jnp.int32)
 
-    # ---- exact count of record samples that differ from the predicted row
+    # ---- count of record samples that differ from the predicted row
     # (baseline inside the pulse, zero in the tail pad) — sizes the encoded
-    # transport's value buffer; rides the same tiny counts fetch.
+    # transport's value buffer; rides the same tiny counts fetch. The host
+    # decoder slices values by the actual mask popcount, so a slight
+    # overestimate only costs a few extra wire bytes.
     rows = data.shape[1]
-    neq = (data != const.digitizer_reference_baseline).astype(jnp.int32)
-    csum_neq = jnp.concatenate(
-        [jnp.zeros((B * rows, 1), jnp.int32),
-         jnp.cumsum(neq.reshape(B * rows, -1), axis=1)], axis=1)
-    a = (left_all[:, :, None] + starts).reshape(B * rows, -1)
-    b = a + plen.reshape(B * rows, -1)
-    a = jnp.clip(a, 0, T)
-    b = jnp.clip(b, 0, T)
-    nnz_itv = (jnp.take_along_axis(csum_neq, b, axis=1)
-               - jnp.take_along_axis(csum_neq, a, axis=1))
-    total_nnz = jnp.where(itv_valid.reshape(B * rows, -1), nnz_itv,
-                          0).sum().astype(jnp.int32)
+    if rows == C:
+        # no-noise slim path: count non-baseline samples inside the channel
+        # windows — a pure elementwise reduce (measured +0.2% over the exact
+        # per-interval count; the exact version's endpoint gathers cost
+        # 2x ~40 ms per call)
+        idxT = jnp.arange(T, dtype=jnp.int32)
+        in_w = (idxT[None, None, :] >= ch_left[:, :, None]) & \
+               (idxT[None, None, :] <= ch_right[:, :, None]) & has[:, :, None]
+        neq = (data != const.digitizer_reference_baseline) & in_w
+        total_nnz = neq.sum().astype(jnp.int32)
+    else:
+        # noise regimes: windows are full of non-baseline noise samples, so
+        # the window bound is far too loose — count exactly per interval
+        neq = (data != const.digitizer_reference_baseline).astype(jnp.int32)
+        csum_neq = jnp.concatenate(
+            [jnp.zeros((B * rows, 1), jnp.int32),
+             jnp.cumsum(neq.reshape(B * rows, -1), axis=1)], axis=1)
+        a = (left_all[:, :, None] + starts).reshape(B * rows, -1)
+        b = a + plen.reshape(B * rows, -1)
+        a = jnp.clip(a, 0, T)
+        b = jnp.clip(b, 0, T)
+        csum_flat = csum_neq.reshape(-1)
+        rbase = (jnp.arange(B * rows, dtype=jnp.int32) * (T + 1))[:, None]
+        nnz_itv = csum_flat[(rbase + b).reshape(-1)] \
+            - csum_flat[(rbase + a).reshape(-1)]
+        total_nnz = jnp.where(itv_valid.reshape(-1), nnz_itv,
+                              0).sum().astype(jnp.int32)
     return dict(data=data, left_all=left_all,
                 starts=starts, ends=ends, itv_valid=itv_valid,
                 n_records=total_rec, n_values=total_nnz)
@@ -625,17 +642,26 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     masks = jnp.sum(bits * w8[None, None, :], axis=2).astype(jnp.uint8)
     #                                           matches np.unpackbits default
 
-    # compact differing values row-major (matches numpy boolean assignment);
-    # gather formulation — src of the i-th value is the position of the i-th
-    # set mask bit, found by binary search on the mask cumsum (TPU lowers
-    # gathers far better than big scatters)
-    m_f = dm.reshape(-1)
-    csum_m = jnp.cumsum(m_f.astype(jnp.int32))
-    vq = jnp.arange(1, max_values + 1, dtype=jnp.int32)
-    src = jnp.searchsorted(csum_m, vq, side='left').astype(jnp.int32)
-    src = jnp.clip(src, 0, m_f.shape[0] - 1)
-    valid_v = vq <= csum_m[-1]
-    values = jnp.where(valid_v, rws.reshape(-1)[src], 0).astype(jnp.int16)
+    # compact differing values row-major (matches numpy boolean assignment).
+    # Two-level gather formulation: rows are assigned to output slots with
+    # the boundary-scatter segment trick (a flat searchsorted here lowers to
+    # a ~300 ms while-loop of gathers), and within a row the k-th set bit's
+    # column comes from a 110-wide stable argsort of the mask.
+    nnz_r = dm.sum(axis=1).astype(jnp.int32)                  # (R,)
+    csum_r = jnp.cumsum(nnz_r)
+    marks = jnp.zeros(max_values, jnp.int32).at[csum_r].add(1, mode='drop')
+    row_of = jnp.cumsum(marks)                                 # (V,)
+    row_of = jnp.clip(row_of, 0, max_records - 1)
+    vq = jnp.arange(max_values, dtype=jnp.int32)
+    valid_v = vq < csum_r[-1]
+    off = csum_r - nnz_r                                       # (R,) exclusive
+    k_in_row = vq - off[row_of]
+    order = jnp.argsort(~dm, axis=1, stable=True).astype(jnp.int32)  # (R,110)
+    src_col = order.reshape(-1)[row_of * spr
+                                + jnp.clip(k_in_row, 0, spr - 1)]
+    values = jnp.where(valid_v,
+                       rws.reshape(-1)[row_of * spr + src_col],
+                       0).astype(jnp.int16)
 
     meta = jnp.stack([
         jnp.where(rec_valid, w_of, -1),
@@ -654,5 +680,7 @@ def decode_records(meta, masks, values, baseline):
                    np.int16(baseline), np.int16(0))
     if n:
         mb = np.unpackbits(masks, axis=1, count=spr).astype(bool)
-        out[mb] = values
+        # `values` may carry zero padding beyond the actual count (the
+        # device-side size is an upper bound); slice to the mask popcount
+        out[mb] = values[:int(mb.sum())]
     return out
