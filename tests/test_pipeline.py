@@ -267,3 +267,67 @@ def test_kr83m_double_s1():
     # channels where the two S1s resolve give a second pulse ~1.5 us later;
     # channels where ZLE merges them give one long pulse
     assert near_a > 50 and near_b > 20
+
+
+def _reference_truth_groups(inst, v, rext, save_full_truth):
+    """Numpy oracle of the reference's truth-row grouping
+    (reference: wfsim/core/rawdata.py:42,60-63,110-125): cluster by signal
+    arrival time with gap > rext, then per type either one row per
+    instruction (save_full_truth, the reference default, rawdata.py:42) or
+    sub-groups of S1s within 100 ns / S2s within 2 mm of drift."""
+    arrival = inst['time'] + (inst['z'] / v
+                              * (inst['type'] % 2 - 1)).astype(np.int64)
+    order = np.argsort(arrival, kind='stable')
+    clusters = np.split(order, np.where(np.diff(arrival[order]) > rext)[0] + 1)
+    groups = []
+    for cl in clusters:
+        for ptype in (1, 2, 4, 6):
+            sel = cl[inst['type'][cl] == ptype]
+            if not len(sel):
+                continue
+            if ptype in (1, 2):
+                if save_full_truth:
+                    groups += [np.array([i]) for i in sel]
+                else:
+                    gap = 100 if ptype == 1 else int(0.2 / v)
+                    groups += np.split(
+                        sel, np.where(np.diff(arrival[sel]) > gap)[0] + 1)
+            else:
+                groups.append(sel)
+    return groups
+
+
+@pytest.mark.parametrize('save_full_truth', [True, False])
+def test_truth_grouping_parity(save_full_truth):
+    """Truth rows follow the reference's grouping in both modes: a mixed
+    train of S1 doublets (40 ns / 150 ns apart) and S2 pairs at close /
+    distant z must produce exactly the oracle's (type, summed amp) rows."""
+    c = default_config(seed=7, save_full_truth=save_full_truth)
+    v = c['drift_velocity_liquid']
+    inst = np.zeros(10, dtype=instruction_dtype)
+    inst['event_number'] = np.arange(10) // 2
+    base = 100_000_000
+    # S1 doublet 40 ns apart (groups when grouping on), another 150 ns apart
+    # (never groups), an S2 pair ~1 mm apart in z (groups), an S2 pair ~9 mm
+    # apart (never groups), and a lone S1 + S2 in a separate cluster
+    inst['type'] = [1, 1, 1, 1, 2, 2, 2, 2, 1, 2]
+    inst['time'] = [base, base + 40,
+                    base + 5_000, base + 5_150,
+                    base + 10_000, base + 10_000,
+                    base + 20_000, base + 20_000,
+                    base + 600_000_000, base + 600_000_000]
+    inst['x'], inst['y'] = 5.0, 5.0
+    inst['z'] = [-40., -40., -40., -40.,
+                 -40., -40.1,            # ~1 mm apart -> same group
+                 -40., -40.9,            # ~9 mm apart -> separate groups
+                 -50., -50.]
+    inst['amp'] = [1000, 500, 800, 400, 60, 30, 50, 20, 700, 40]
+    inst['recoil'] = 7
+    out = Simulator(c).get_arrays(inst)
+    truth = out['truth']
+    oracle = _reference_truth_groups(inst, v, c['right_raw_extension'],
+                                     save_full_truth)
+    expected = sorted((int(inst['type'][g[0]]), int(inst['amp'][g].sum()))
+                      for g in oracle)
+    got = sorted((int(r['type']), int(r['amp'])) for r in truth)
+    assert got == expected, f'{got} != {expected}'

@@ -56,6 +56,31 @@ def _bucket(n, lo=256, hi=2 ** 22):
     return b
 
 
+_MEM_BUDGET_CACHE = None
+
+
+def _device_memory_budget():
+    """Usable accelerator-memory budget in bytes for digitize batch sizing.
+
+    Queried from the device (``memory_stats``) instead of assuming a chip
+    class; falls back to a conservative 6 GB when the backend doesn't report
+    (e.g. the CPU backend, or relay-attached devices without stats).
+    """
+    global _MEM_BUDGET_CACHE
+    if _MEM_BUDGET_CACHE is None:
+        budget = int(6e9)
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            limit = (stats or {}).get('bytes_limit', 0)
+            if limit:
+                # leave 25% headroom for the sim buffers + XLA scratch
+                budget = int(limit * 0.75)
+        except Exception:
+            pass
+        _MEM_BUDGET_CACHE = budget
+    return _MEM_BUDGET_CACHE
+
+
 _sim_s1_jit = jax.jit(simulate_s1, static_argnames=('const', 'capacity',
                                                     'n_truth_rows'))
 _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
@@ -152,6 +177,12 @@ class RawDataTPU:
         return jax.random.fold_in(self.key, self._key_ctr)
 
     def _validate_model_types(self):
+        """Fail bad model strings at construction, not mid-trace.
+
+        The reference validates s1_model_type up front (s1.py:50-58) but lets
+        bad S2 model strings fail deep inside the chain (s2.py:380,503); here
+        all three selectors are checked before any device work is queued.
+        """
         valid = {'', 'simple', 'custom', 'optical_propagation', 'nest'}
         s = str(self.config['s1_model_type'])
         for part0 in s.split('+'):
@@ -159,6 +190,15 @@ class RawDataTPU:
                 for part in part1.split(','):
                     assert part in valid, \
                         f'Model type "{part}" not in {sorted(valid)}'
+        lum = str(self.config['s2_luminescence_model'])
+        valid_lum = {'simple', 'garfield', 'garfield_gas_gap'}
+        assert lum in valid_lum, \
+            f's2_luminescence_model "{lum}" not in {sorted(valid_lum)}'
+        tm = str(self.config['s2_time_model'])
+        valid_tm = ('optical_propagation', 'zero_delay',
+                    's2_time_spread around zero')
+        assert any(v in tm for v in valid_tm), \
+            f's2_time_model "{tm}" must contain one of {valid_tm}'
 
     @staticmethod
     def symtype(ptype):
@@ -738,7 +778,7 @@ class RawDataTPU:
             bytes_per_win = (self.const.n_tpc_pmts * T_cap * 10 * 4 * 2
                              + self.const.n_channels_total * T_cap * 8
                              + n_cap * 16)
-            b_max = max(1, int(6e9) // bytes_per_win)
+            b_max = max(1, _device_memory_budget() // bytes_per_win)
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
