@@ -10,6 +10,18 @@ equivalent, and exact in the limit of grid density.
 Table generation uses nestpy when importable; otherwise an analytic
 singlet/triplet + field-dependent recombination mixture with the same shape
 as NEST's ER/NR timing model.
+
+Error bound (measured, tests/test_resources.py::test_nest_table_convergence):
+on the default 16x16 log grid with 2048 quantiles, the sampled-time mean,
+median and IQR at off-grid (field, energy) points agree with direct sampling
+of the underlying generator to better than 2.5% of the distribution's
+standard deviation (mean) / 3% of the IQR (median, IQR, q99), and doubling
+the grid in both axes moves them by less than those same bounds — i.e. the
+default grid is converged at the percent level.  The standard deviation
+itself is dominated by the top ~0.3% recombination tail and fluctuates
++-5% with the table's build-sample count; use quantile-based dispersion
+when validating.  Tables are memoised per (generator, grid,
+max-recombination-time) so repeated ``build_params`` calls reuse them.
 """
 from __future__ import annotations
 
@@ -20,6 +32,13 @@ __all__ = ['build_nest_timing_tables', 'NEST_RECOIL_CLASSES']
 # recoil-class order in the table's leading axis
 NEST_RECOIL_CLASSES = ('er', 'nr', 'alpha', 'led')
 _CLS_OF_NESTID = {0: 1, 6: 2, 7: 0, 8: 0, 11: 0, 12: 0, 20: 3}
+
+# default (field, energy) support: log-spaced, spanning the XENONnT drift
+# fields (tens to hundreds of V/cm) and the keV..hundreds-keV energy range
+DEFAULT_FIELDS = tuple(np.geomspace(10.0, 1000.0, 16))
+DEFAULT_ENERGIES = tuple(np.geomspace(0.3, 300.0, 16))
+
+_TABLE_CACHE: dict = {}
 
 
 def recoil_class_index(recoil_ids: np.ndarray) -> np.ndarray:
@@ -56,20 +75,32 @@ def _analytic_photon_times(cls: int, field: float, energy: float,
 
 
 def build_nest_timing_tables(config,
-                             fields=(20., 50., 100., 200., 500.),
-                             energies=(1., 3., 10., 30., 100.),
-                             m_quantiles: int = 256,
-                             n_samples: int = 50000,
+                             fields=DEFAULT_FIELDS,
+                             energies=DEFAULT_ENERGIES,
+                             m_quantiles: int = 2048,
+                             n_samples: int = 100_000,
                              seed: int = 42):
-    """(inv_cdf [4, F, E, M], fields [F], energies [E]) float32 arrays."""
+    """(inv_cdf [4, F, E, M], fields [F], energies [E]) float32 arrays.
+
+    Memoised on (nestpy availability, grid, m_quantiles, n_samples, seed,
+    maximum_recombination_time): the grid build costs
+    4 * F * E * n_samples draws, and every Simulator/RawDataTPU construction
+    with 'nest' in s1_model_type calls this.
+    """
     try:
         import nestpy
         calc = nestpy.NESTcalc(nestpy.DetectorExample_XENON10())
     except ImportError:
         calc = None
 
-    rng = np.random.default_rng(seed)
     max_t = float(config.get('maximum_recombination_time', 10000.0))
+    cache_key = (calc is not None, tuple(fields), tuple(energies),
+                 m_quantiles, n_samples, seed, max_t)
+    hit = _TABLE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    rng = np.random.default_rng(seed)
     q = np.linspace(0, 1, m_quantiles)
     F, E = len(fields), len(energies)
     table = np.zeros((len(NEST_RECOIL_CLASSES), F, E, m_quantiles), np.float32)
@@ -90,6 +121,8 @@ def build_nest_timing_tables(config,
                         ci, field, energy, n_samples, rng)
                 times = np.clip(times, 0, max_t)
                 table[ci, fi, ei] = np.quantile(times, q)
-    return (table,
-            np.asarray(fields, np.float32),
-            np.asarray(energies, np.float32))
+    out = (table,
+           np.asarray(fields, np.float32),
+           np.asarray(energies, np.float32))
+    _TABLE_CACHE[cache_key] = out
+    return out
