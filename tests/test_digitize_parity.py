@@ -110,12 +110,16 @@ def test_digitize_bitwise_parity(seed):
                                           err_msg=f'channel {cch} payload')
 
 
-@pytest.mark.parametrize('seed', [0, 3])
-def test_encoded_transport_matches_dense_pack(seed):
+@pytest.mark.parametrize('seed,gain_scale', [(0, 1.0), (3, 1.0), (0, 40.0)])
+def test_encoded_transport_matches_dense_pack(seed, gain_scale):
     """pack_records_encoded + decode_records must reproduce pack_records'
-    dense payload bit-for-bit (the wire encoding is lossless)."""
+    dense payload bit-for-bit (the wire encoding is lossless).
+
+    gain_scale=40 drives bright overlapping pulses whose sample-to-sample
+    steps exceed the int8 DPCM range, exercising the escape stream."""
     from wfsim_tpu.pipeline.digitize import (pack_records_encoded,
-                                             decode_records)
+                                             decode_records,
+                                             unpack_encoded_meta)
     c = default_config()
     res = load_config(c)
     params = build_params(c, res)
@@ -126,7 +130,7 @@ def test_encoded_transport_matches_dense_pack(seed):
     n = 400
     t = rng.integers(1500, T * 10 - 3000, n).astype(np.int64)
     ch = rng.integers(0, 32, n).astype(np.int32)
-    gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+    gain = (gain_scale * rng.uniform(1e6, 3e6, n)).astype(np.float32)
 
     pieces = np.zeros((1, 4, 3), np.int32)
     pieces[0, 0] = (0, n, 0)
@@ -150,15 +154,20 @@ def test_encoded_transport_matches_dense_pack(seed):
                                **kw)
     meta_d = np.asarray(dense['rec_meta'])[:n_rec]
     meta_e = np.asarray(enc['rec_meta'])[:n_rec]
-    np.testing.assert_array_equal(meta_d, meta_e)
+    np.testing.assert_array_equal(
+        meta_d, np.stack(unpack_encoded_meta(meta_e), axis=1))
     # n_values from gather_digitize is an upper bound on (and in the exact
     # regimes equal to) the encoder's actual count
     masks = np.asarray(enc['rec_masks'])[:n_rec]
     nnz = int(np.unpackbits(masks, axis=1, count=110).sum())
     assert nnz <= n_val, (nnz, n_val)
     assert n_val <= int(1.1 * nnz) + 64, (nnz, n_val)
+    n_esc = int(enc['n_escapes'])
+    if gain_scale > 1:
+        assert n_esc > 0   # the bright case must actually exercise escapes
     decoded = decode_records(meta_e, masks,
                              np.asarray(enc['rec_values'])[:n_val],
+                             np.asarray(enc['rec_escapes'])[:max(n_esc, 1)],
                              int(c['digitizer_reference_baseline']))
     np.testing.assert_array_equal(decoded,
                                   np.asarray(dense['rec_data'])[:n_rec])

@@ -579,12 +579,22 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
 
     Instead of the dense (max_records, 110) int16 payload, emits per record a
     110-bit mask of samples that differ from the predicted row — baseline
-    inside the pulse, zero in the tail pad — plus the differing values
-    compacted row-major into one buffer. Noise-free pulses are ~65% exactly
-    baseline + ~17% tail pad, so the wire payload shrinks ~3x; the host
-    reverses it with `decode_records` (three vectorized numpy ops). Exact by
-    construction for any input (coincidental baseline-valued signal samples
-    simply ride the prediction).
+    inside the pulse, zero in the tail pad — plus the differing samples as a
+    DPCM stream: each masked sample is sent as an int8 delta from the
+    *previous masked sample of the same record* (baseline for the first one),
+    with -128 reserved as an escape marker whose absolute int16 value rides a
+    separate (tiny) escape buffer. Noise-free pulses are ~65% exactly
+    baseline + ~17% tail pad; noisy/bright pulses are sample-to-sample smooth
+    (noise deltas are a few ADC counts, S2 envelopes rise over ~50+ samples),
+    so deltas almost always fit int8 and the value stream halves again vs
+    int16. Record metadata is packed to 4 int32 words
+    ([window*2048+channel, start, pulse_length, record_i]; `length` is
+    derived). The host reverses everything with `decode_records` /
+    `unpack_encoded_meta` (vectorized numpy). Exact by construction for any
+    input.
+
+    Returns dict(rec_meta (R,4) int32, rec_masks (R,14) uint8,
+    rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
     """
     spr = SAMPLES_PER_RECORD
     T = n_samples
@@ -663,24 +673,73 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
                        rws.reshape(-1)[row_of * spr + src_col],
                        0).astype(jnp.int16)
 
+    # ---- DPCM the value stream: delta from the previous masked value of the
+    # same record (baseline for each record's first masked value) ----
+    v32 = values.astype(jnp.int32)
+    prev = jnp.where(k_in_row == 0, jnp.int32(baseline), jnp.roll(v32, 1))
+    d = v32 - prev
+    esc = (jnp.abs(d) > 127) & valid_v
+    d8 = jnp.where(valid_v & ~esc, d, jnp.where(valid_v, -128, 0)) \
+        .astype(jnp.int8)
+    n_escapes = esc.sum().astype(jnp.int32)
+    epos = jnp.cumsum(esc.astype(jnp.int32)) - 1
+    esc_vals = jnp.zeros(max_values, jnp.int16).at[
+        jnp.where(esc, epos, max_values)].set(values, mode='drop')
+
     meta = jnp.stack([
-        jnp.where(rec_valid, w_of, -1),
-        c_of, start_s, length, plen_f, record_i], axis=1).astype(jnp.int32)
-    return dict(rec_meta=meta, rec_masks=masks, rec_values=values)
+        jnp.where(rec_valid, w_of * 2048 + c_of, -1),
+        start_s, plen_f, record_i], axis=1).astype(jnp.int32)
+    return dict(rec_meta=meta, rec_masks=masks, rec_values=d8,
+                rec_escapes=esc_vals, n_escapes=n_escapes)
 
 
-def decode_records(meta, masks, values, baseline):
+def unpack_encoded_meta(meta):
+    """Host-side meta unpack for `pack_records_encoded` output: returns
+    (window, channel, start_sample, length, pulse_length, record_i), each
+    (n,) int32/int64 numpy."""
+    spr = SAMPLES_PER_RECORD
+    w_of = meta[:, 0] >> 11
+    c_of = meta[:, 0] & 2047
+    start_s = meta[:, 1]
+    plen = meta[:, 2]
+    record_i = meta[:, 3]
+    length = np.clip(plen - record_i * spr, 0, spr).astype(meta.dtype)
+    return w_of, c_of, start_s, length, plen, record_i
+
+
+def decode_records(meta, masks, d8, esc_vals, baseline):
     """Host-side inverse of `pack_records_encoded` (numpy, vectorized):
-    rebuild the (n, 110) int16 record payload from meta lengths, difference
-    bitmasks and compacted differing values."""
+    rebuild the (n, 110) int16 record payload from packed meta, difference
+    bitmasks, the int8 DPCM delta stream and the int16 escape values.
+
+    `d8` may carry zero padding beyond the actual count (the device-side
+    size is an upper bound); it is sliced to the mask popcount. `esc_vals`
+    must be sliced exactly (its count comes from the pack's n_escapes)."""
     n = len(meta)
     spr = SAMPLES_PER_RECORD
-    length = meta[:, 3]
+    _, _, _, length, _, _ = unpack_encoded_meta(meta)
     out = np.where(np.arange(spr, dtype=np.int32)[None, :] < length[:, None],
                    np.int16(baseline), np.int16(0))
-    if n:
-        mb = np.unpackbits(masks, axis=1, count=spr).astype(bool)
-        # `values` may carry zero padding beyond the actual count (the
-        # device-side size is an upper bound); slice to the mask popcount
-        out[mb] = values[:int(mb.sum())]
+    if not n:
+        return out
+    mb = np.unpackbits(masks, axis=1, count=spr).astype(bool)
+    V = int(mb.sum())
+    if not V:
+        return out
+    d = d8[:V].astype(np.int32)
+    esc = d == -128
+    nnz = mb.sum(axis=1)
+    row_start = np.cumsum(nnz) - nnz
+    first = np.zeros(V, bool)
+    first[row_start[nnz > 0]] = True
+    reset = first | esc
+    vals_at_reset = np.zeros(V, np.int32)
+    vals_at_reset[esc] = esc_vals[:int(esc.sum())]
+    fne = first & ~esc
+    vals_at_reset[fne] = baseline + d[fne]
+    s = np.cumsum(np.where(reset, 0, d))
+    k = np.arange(V)
+    last_reset = np.maximum.accumulate(np.where(reset, k, -1))
+    v = vals_at_reset[last_reset] + s - s[last_reset]
+    out[mb] = v.astype(np.int16)
     return out

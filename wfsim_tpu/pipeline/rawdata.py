@@ -688,7 +688,7 @@ class RawDataTPU:
         record packing, and yield per-window record arrays in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
         from .digitize import (gather_digitize, pack_records_encoded,
-                               decode_records)
+                               decode_records, unpack_encoded_meta)
 
         if not self._pulses:
             return
@@ -820,24 +820,36 @@ class RawDataTPU:
                     baseline=baseline)
                 n = max(n_rec, 1)
                 nv = max(n_val, 1)
-                # start the async wire copies for this call immediately —
-                # transfers of early calls overlap pack compute of later
-                # ones, and the collect loop below overlaps decode with the
-                # transfers still in flight
+                # start the async wire copies of the bulk buffers
+                # immediately — transfers of early calls overlap pack compute
+                # of later ones, and the collect loop below overlaps decode
+                # with the transfers still in flight. The (tiny) escape
+                # buffer needs the pack's own n_escapes to slice, so those
+                # counts go out in one stacked fetch after all packs are
+                # queued.
                 tok = _start_sliced_copies([packed['rec_meta'][:n],
                                             packed['rec_masks'][:n],
                                             packed['rec_values'][:nv]])
-                sizes.append((n_rec, n_val, tok))
+                sizes.append((n_rec, n_val, tok, packed))
+            esc_counts = np.asarray(jnp.stack(
+                [p['n_escapes'] for *_, p in sizes])) if sizes else []
+            sizes = [(n_rec, n_val, tok,
+                      _start_sliced_copies(
+                          [p['rec_escapes'][:max(int(ne), 1)]]),
+                      int(ne))
+                     for (n_rec, n_val, tok, p), ne in zip(sizes, esc_counts)]
             self.diag.seconds['digitize_pack_dispatch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             nbytes = 0
-            for n_rec, n_val, tok in sizes:
+            for n_rec, n_val, tok, etok, n_esc in sizes:
                 meta, masks, vals = _collect_sliced(tok)
-                nbytes += meta.nbytes + masks.nbytes + vals.nbytes
+                (escs,) = _collect_sliced(etok)
+                nbytes += (meta.nbytes + masks.nbytes + vals.nbytes
+                           + escs.nbytes)
                 meta = meta[:n_rec]
                 rdata = decode_records(meta, masks[:n_rec],
-                                       vals[:n_val], baseline)
+                                       vals[:n_val], escs[:n_esc], baseline)
                 payload_rows.append((n_rec, meta, rdata))
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
@@ -846,19 +858,22 @@ class RawDataTPU:
         # phase 2: split per window
         t_split0 = time.perf_counter()
         for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
-            # split records by window (meta col 0 ascending by design)
-            bounds = np.searchsorted(meta[:, 0], np.arange(len(batch) + 1))
+            m_w, m_c, m_start, m_len, m_plen, m_reci = \
+                unpack_encoded_meta(meta)
+            # split records by window (ascending by design)
+            bounds = np.searchsorted(m_w, np.arange(len(batch) + 1))
             for bi, wi in enumerate(batch):
-                sub = meta[bounds[bi]:bounds[bi + 1]]
-                recs = np.zeros(len(sub), dtype=raw_record_dtype(spr))
+                sl = slice(bounds[bi], bounds[bi + 1])
+                recs = np.zeros(bounds[bi + 1] - bounds[bi],
+                                dtype=raw_record_dtype(spr))
                 recs['time'] = ((np.int64(wins[wi]['win_left'])
-                                 + sub[:, 2].astype(np.int64)) * dt)
-                recs['channel'] = sub[:, 1]
+                                 + m_start[sl].astype(np.int64)) * dt)
+                recs['channel'] = m_c[sl]
                 recs['dt'] = dt
-                recs['length'] = sub[:, 3]
-                recs['pulse_length'] = sub[:, 4]
-                recs['record_i'] = sub[:, 5]
-                recs['data'] = rdata[bounds[bi]:bounds[bi + 1]]
+                recs['length'] = m_len[sl]
+                recs['pulse_length'] = m_plen[sl]
+                recs['record_i'] = m_reci[sl]
+                recs['data'] = rdata[sl]
                 results[wi] = recs
                 self.diag.add('records', len(recs))
         self.diag.seconds['digitize_host_split'] += \
