@@ -48,6 +48,50 @@ def test_sharded_step_events_by_channels():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_sharded_pipeline_matches_single_device():
+    """The PRODUCTION pipeline (Simulator -> RawDataTPU.iter_windows ->
+    gather_digitize -> encoded transport) run over an 8-device 'events' mesh
+    must produce exactly the records and truth of the single-device run:
+    instruction and window batches are sharded, the partitionable-threefry
+    draws are sharding-invariant, and the DAQ chain is integer."""
+    from wfsim_tpu.dtypes import instruction_dtype
+    from wfsim_tpu.interface.simulator import Simulator
+
+    n = 12
+    rng = np.random.default_rng(5)
+    inst = np.zeros(2 * n, dtype=instruction_dtype)
+    inst['event_number'] = np.repeat(np.arange(n), 2)
+    inst['type'] = np.tile([1, 2], n)
+    inst['time'] = np.repeat((np.arange(n) + 1) * 2_000_000, 2)
+    r = np.sqrt(rng.uniform(0, 45 ** 2, n))
+    th = rng.uniform(-np.pi, np.pi, n)
+    inst['x'] = np.repeat(r * np.cos(th), 2)
+    inst['y'] = np.repeat(r * np.sin(th), 2)
+    inst['z'] = np.repeat(rng.uniform(-80, -20, n), 2)
+    inst['amp'] = np.tile([600, 80], n)
+    inst['recoil'] = 7
+
+    c = default_config()
+    c['seed'] = 11
+    c['prng_impl'] = 'threefry2x32'   # match what the mesh path forces
+
+    single = Simulator(dict(c)).get_arrays(inst.copy())
+    mesh = make_mesh(8, 1)
+    sharded = Simulator(dict(c), mesh=mesh).get_arrays(inst.copy())
+
+    ra, rb = single['raw_records'], sharded['raw_records']
+    assert len(ra) == len(rb) > 0
+    for f in ra.dtype.names:
+        np.testing.assert_array_equal(ra[f], rb[f], err_msg=f'records.{f}')
+    ta, tb = single['truth'], sharded['truth']
+    assert len(ta) == len(tb) == 2 * n
+    for f in ('n_photon', 'n_pe', 'n_electron', 't_first_photon',
+              't_last_photon', 'raw_area'):
+        np.testing.assert_allclose(ta[f], tb[f], rtol=1e-6, atol=1e-6,
+                                   err_msg=f'truth.{f}')
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location('graft', '__graft_entry__.py')

@@ -37,7 +37,11 @@ class Simulator:
     def __init__(self, config: ty.Optional[dict] = None,
                  fax_config: ty.Optional[str] = None,
                  fax_config_override: ty.Optional[dict] = None,
+                 mesh=None,
                  **overrides):
+        """``mesh``: optional jax.sharding.Mesh with an 'events' axis — runs
+        the production pipeline sharded over multiple chips (see
+        RawDataTPU); output is identical to the single-device run."""
         if config is None:
             config = default_config()
         else:
@@ -50,7 +54,7 @@ class Simulator:
         self.config = finalize_config(config)
         if self.config.get('seed'):
             np.random.seed(self.config['seed'])
-        self.sim = ChunkRawRecords(self.config)
+        self.sim = ChunkRawRecords(self.config, mesh=mesh)
 
     # -- instruction handling (reference: strax_interface.py:674-693) -------
 

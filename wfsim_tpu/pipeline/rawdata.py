@@ -146,9 +146,19 @@ class _Pulse(ty.NamedTuple):
 
 
 class RawDataTPU:
-    """Drop-in behavioural equivalent of the reference ``RawData``."""
+    """Drop-in behavioural equivalent of the reference ``RawData``.
 
-    def __init__(self, config, **kwargs):
+    Pass ``mesh`` (a :class:`jax.sharding.Mesh` with an ``'events'`` axis,
+    see :func:`wfsim_tpu.parallel.sharding.make_mesh`) to run the SAME
+    pipeline multi-chip: instruction batches and window batches are sharded
+    over the 'events' axis and XLA partitions the already-batched kernels
+    (GSPMD), so the sharded run produces the same records/truth as the
+    single-device run (the PRNG is forced to partitionable threefry, whose
+    draws are sharding-invariant).  The reference has no parallelism of any
+    kind (SURVEY §2.4); this is where the TPU framework goes beyond it.
+    """
+
+    def __init__(self, config, mesh=None, **kwargs):
         self.config = finalize_config(dict(config))
         self.resource = load_config(self.config)
         # build_params records AP-table metadata into config before
@@ -157,10 +167,16 @@ class RawDataTPU:
         self.const = build_constants(self.config)
         seed = self.config.get('seed') or 0
         self.rng = np.random.default_rng(seed if seed else None)
+        self.mesh = mesh
+        self._ev_shards = int(mesh.shape['events']) if mesh is not None else 1
         # rbg maps to the TPU hardware bit generator and cuts sim kernel time
         # ~30% vs threefry (still counter-based / reproducible per seed+impl);
-        # poisson draws internally fold to threefry (ops/randsample.py)
+        # poisson draws internally fold to threefry (ops/randsample.py).
+        # Sharded runs force threefry: rbg draws change with the sharding,
+        # partitionable threefry's don't.
         default_impl = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+        if mesh is not None:
+            default_impl = 'threefry2x32'
         impl = self.config.get('prng_impl', default_impl)
         self.key = jax.random.key(
             seed if seed else np.random.randint(2 ** 31), impl=impl)
@@ -212,15 +228,32 @@ class RawDataTPU:
 
     # -- simulation --------------------------------------------------------
 
+    def _shard_events(self, a):
+        """Place a batch-leading device array sharded over the mesh 'events'
+        axis (no-op without a mesh; replicates when the dim doesn't divide)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P('events') if a.shape[0] % self._ev_shards == 0 else P()
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+    def _replicate(self, a):
+        """Replicate a device array over the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(a, NamedSharding(self.mesh, P()))
+
     def _make_inst_batch(self, instructions, idx, base_time, truth_rows, n_rows):
         """Pad a host instruction selection into a device batch dict."""
-        icap = _bucket(max(len(idx), 1), lo=8, hi=2 ** 16)
+        icap = _bucket(max(len(idx), 1), lo=max(8, self._ev_shards),
+                       hi=2 ** 16)
         sel = instructions[idx]
         out = {}
         def pad(x, dtype, fill=0):
             a = np.full(icap, fill, dtype=dtype)
             a[:len(idx)] = x
-            return jnp.asarray(a)
+            return self._shard_events(jnp.asarray(a))
         out['time'] = pad((sel['time'] - base_time).astype(np.int64), np.int32)
         out['x'] = pad(sel['x'], np.float32)
         out['y'] = pad(sel['y'], np.float32)
@@ -701,12 +734,15 @@ class RawDataTPU:
 
         pulses = sorted(self._pulses, key=lambda p: p.t_min)
 
-        # build the device photon arena (pure device-side concatenation)
-        arena_t = jnp.concatenate(
-            [b[0]['t'].astype(jnp.int32) for b in self._buffers])
-        arena_ch = jnp.concatenate(
-            [b[0]['ch'].astype(jnp.int32) for b in self._buffers])
-        arena_g = jnp.concatenate([b[0]['gain'] for b in self._buffers])
+        # build the device photon arena (pure device-side concatenation);
+        # under a mesh the arena replicates — every chip sees all photons and
+        # gathers its own window batch shard from them
+        arena_t = self._replicate(jnp.concatenate(
+            [b[0]['t'].astype(jnp.int32) for b in self._buffers]))
+        arena_ch = self._replicate(jnp.concatenate(
+            [b[0]['ch'].astype(jnp.int32) for b in self._buffers]))
+        arena_g = self._replicate(jnp.concatenate(
+            [b[0]['gain'] for b in self._buffers]))
         self._buffers.clear()
 
         groups: ty.List[ty.List[_Pulse]] = []
@@ -754,7 +790,7 @@ class RawDataTPU:
         max_itv = int(self.config.get('zle_max_intervals', 64))
 
         def dispatch(batch, T_cap, n_cap, p_cap):
-            B = _bucket(len(batch), lo=1, hi=2 ** 30)
+            B = _bucket(len(batch), lo=max(1, self._ev_shards), hi=2 ** 30)
             pieces = np.zeros((B, p_cap, 3), np.int32)
             for bi, wi in enumerate(batch):
                 w = wins[wi]
@@ -765,7 +801,7 @@ class RawDataTPU:
                     pieces[bi, pi, 2] = p.base_time - win_base
             return gather_digitize(
                 self.params, self.const, arena_t, arena_ch, arena_g,
-                jnp.asarray(pieces), self._next_key(),
+                self._shard_events(jnp.asarray(pieces)), self._next_key(),
                 n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
                 max_intervals=max_itv)
 
