@@ -279,3 +279,22 @@ def test_gains_from_to_pe():
     assert abs(c2['gains'][0] - adc_2_current / 0.005) < 1e-3
     assert c2['gains'][3] == 0.0
     assert 3 in c2['turned_off_pmts']
+
+
+def test_pax_model_serialization():
+    """pax data-model serialization surface (reference:
+    wfsim/pax_datastructure/data_model.py:60-130): recursive to_dict and
+    to_json over the Event -> Pulse hierarchy, ndarrays converted."""
+    import json as _json
+    from wfsim_tpu.pax_datastructure import Event, Pulse
+    ev = Event(n_channels=494, start_time=10, stop_time=1010,
+               pulses=[Pulse(channel=3, left=5,
+                             raw_data=np.arange(4, dtype=np.int16))])
+    d = ev.to_dict()
+    assert d['pulses'][0]['channel'] == 3
+    assert isinstance(d['pulses'][0]['raw_data'], np.ndarray)
+    j = _json.loads(ev.to_json())
+    assert j['pulses'][0]['raw_data'] == [0, 1, 2, 3]
+    assert j['start_time'] == 10
+    j2 = _json.loads(ev.to_json(fields_to_ignore=('pulses',)))
+    assert 'pulses' not in j2

@@ -1,0 +1,145 @@
+"""Execute the strax plugin layer against the vendored shim.
+
+Mirrors the shape of the reference's integration tests
+(/root/reference/tests/test_wfsim.py:30-64: build plugin, setup, pull
+chunks, sanity-check records+truth) without a real strax install:
+tests/strax_mock provides the minimal strax/straxen/immutabledict surface
+and wfsim_tpu.interface.strax_plugins is reloaded against it.
+"""
+import importlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from wfsim_tpu.config import default_config, CHANNEL_MAPS
+from wfsim_tpu.dtypes import instruction_dtype
+
+
+@pytest.fixture
+def sp():
+    import tests.strax_mock.strax as strax_m
+    import tests.strax_mock.straxen as straxen_m
+    import tests.strax_mock.immutabledict as imm_m
+    names = ('strax', 'straxen', 'immutabledict')
+    saved = {k: sys.modules.get(k) for k in names}
+    sys.modules['strax'] = strax_m
+    sys.modules['straxen'] = straxen_m
+    sys.modules['immutabledict'] = imm_m
+    import wfsim_tpu.interface.strax_plugins as m
+    importlib.reload(m)
+    assert m.HAVE_STRAX
+    try:
+        yield m
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        importlib.reload(m)
+
+
+def _base_config(**extra):
+    from tests.strax_mock.immutabledict import immutabledict
+    over = default_config()
+    over['seed'] = 7
+    # default_config() doubles as the fax JSON here, and set_config applies
+    # it over the plugin options — pin the plugin-level knobs in it too
+    over.update(event_rate=2, chunk_size=1, n_chunk=2)
+    over.update({k: v for k, v in extra.items() if k in over})
+    c = dict(
+        detector='XENONnT',
+        event_rate=2, chunk_size=1, n_chunk=2, seed=7,
+        fax_config='no_such_fax_config.json',   # shim resolves to {}
+        fax_config_override=over,
+        channel_map=immutabledict(CHANNEL_MAPS['XENONnT']['channel_map']),
+        n_tpc_pmts=494, n_top_pmts=253,
+        gain_model_mc=np.full(494, 0.0085),
+    )
+    c.update(extra)
+    return c
+
+
+def test_fax_nt_two_chunk_compute(sp):
+    """RawRecordsFromFaxNT.setup() + a two-chunk compute loop
+    (reference scale: tests/test_wfsim.py:44 runs 2 chunks x 1 s)."""
+    p = sp.RawRecordsFromFaxNT(config=_base_config())
+    p.setup()
+    assert len(p.instructions) > 0
+
+    n_records = 0
+    starts = []
+    for _ in range(2):
+        out = p.compute()
+        assert set(out) == set(p.provides)
+        rr = out['raw_records']
+        assert rr.data.dtype == p.dtype_for('raw_records')
+        assert rr.end >= rr.start
+        starts.append(rr.start)
+        n_records += len(rr.data)
+        truth = out['truth'].data
+        assert truth.dtype == p.dtype_for('truth')
+        if len(rr.data) > 1:
+            assert np.diff(rr.data['time']).min() >= 0
+    assert n_records > 0
+    assert starts[1] > starts[0]
+    assert p.source_finished()
+
+
+def test_fax_nt_sort_check_rejects_unsorted(sp):
+    p = sp.RawRecordsFromFaxNT(config=_base_config())
+    p.setup()
+    bad = np.zeros(2, dtype=p.dtype_for('raw_records'))
+    bad['time'] = [10_000_000, 5_000_000]
+    with pytest.raises(RuntimeError, match='non-sorted'):
+        p._sort_check(bad)
+
+
+def test_mc_chain_with_stub_epix(sp):
+    """RawRecordsFromMcChain (tpc target) driven by a stub epix module:
+    exercises the epix hand-off, the synchronized event clock (set_timing),
+    in-TPC checks and the lock-step compute with empty nVeto outputs
+    (reference: strax_interface.py:741-1005)."""
+    n_ev = 4
+    rng = np.random.default_rng(3)
+    inst = np.zeros(2 * n_ev, dtype=instruction_dtype)
+    inst['event_number'] = np.repeat(np.arange(n_ev), 2)
+    inst['g4id'] = np.repeat(np.arange(n_ev), 2)
+    inst['type'] = np.tile([1, 2], n_ev)
+    inst['time'] = 0
+    inst['x'] = np.repeat(rng.uniform(-30, 30, n_ev), 2)
+    inst['y'] = np.repeat(rng.uniform(-30, 30, n_ev), 2)
+    inst['z'] = np.repeat(rng.uniform(-80, -20, n_ev), 2)
+    inst['amp'] = np.tile([300, 40], n_ev)
+    inst['recoil'] = 7
+
+    epix = types.ModuleType('epix')
+    calls = {}
+
+    def _main(cfg, return_wfsim_instructions=True):
+        calls['config'] = cfg
+        assert return_wfsim_instructions
+        return inst.copy()
+
+    epix.run_epix = types.SimpleNamespace(setup=lambda cfg: cfg, main=_main)
+    sys.modules['epix'] = epix
+    try:
+        p = sp.RawRecordsFromMcChain(config=_base_config(
+            targets=('tpc',), fax_file='stub.root', epix_config={},
+            chunk_size=100, n_chunk=1))
+        p.setup()
+        assert calls['config']['input_file'] == 'stub.root'
+        # the shared event clock placed every instruction on the grid
+        assert np.all(p.instructions_epix['time'] > 0)
+
+        out = p.compute()
+        assert set(out) == set(p.provides)
+        assert len(out['raw_records'].data) > 0
+        assert len(out['truth'].data) == 2 * n_ev
+        assert len(out['raw_records_nv'].data) == 0
+        assert len(out['truth_nv'].data) == 0
+        assert p.source_finished()
+    finally:
+        sys.modules.pop('epix', None)

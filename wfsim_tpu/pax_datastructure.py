@@ -10,6 +10,8 @@ of the hierarchy so downstream pickles have the expected attribute surface.
 """
 from __future__ import annotations
 
+import json
+
 import numpy as np
 
 __all__ = ['Model', 'Pulse', 'Hit', 'Peak', 'SumWaveform',
@@ -46,8 +48,37 @@ class Model:
             return np.asarray(value, dtype=default.dtype)
         return value
 
-    def to_dict(self):
-        return {k: getattr(self, k) for k in self._fields()}
+    def _child_lists(self):
+        """Names of list-of-Model attributes (set by subclasses like Event)."""
+        return [k for k, v in vars(self).items()
+                if isinstance(v, list) and not k.startswith('_')]
+
+    def to_dict(self, convert_numpy_arrays_to=None, fields_to_ignore=()):
+        """Recursive dict form, like pax's Model.to_dict
+        (reference: wfsim/pax_datastructure/data_model.py:60-120).
+        ``convert_numpy_arrays_to``: None keeps ndarrays, 'list' converts.
+        """
+        def conv(v):
+            if isinstance(v, Model):
+                return v.to_dict(convert_numpy_arrays_to, fields_to_ignore)
+            if isinstance(v, list):
+                return [conv(x) for x in v]
+            if isinstance(v, np.ndarray):
+                return v.tolist() if convert_numpy_arrays_to == 'list' else v
+            if isinstance(v, np.generic):
+                return v.item()
+            return v
+        out = {}
+        for k in self._fields() + self._child_lists():
+            if k in fields_to_ignore:
+                continue
+            out[k] = conv(getattr(self, k))
+        return out
+
+    def to_json(self, fields_to_ignore=()):
+        """JSON form (pax: data_model.py:122-130); ndarrays become lists."""
+        return json.dumps(self.to_dict(convert_numpy_arrays_to='list',
+                                       fields_to_ignore=fields_to_ignore))
 
     def __repr__(self):
         return f'{type(self).__name__}({self.to_dict()})'
