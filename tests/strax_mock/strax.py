@@ -67,3 +67,36 @@ class Plugin:
 
 def raw_record_dtype(samples_per_record=110):
     return _raw_record_dtype(samples_per_record)
+
+
+class DataDirectory:
+    def __init__(self, path='./strax_data', **kwargs):
+        self.path = path
+
+
+class Context:
+    """Registry + config container (the slice of strax.Context the wfsim
+    context factories drive: register, set_config, config mapping,
+    _plugin_class_registry, apply_cmt_version)."""
+
+    def __init__(self, storage=None, config=None, **kwargs):
+        self.storage = storage
+        self.config = dict(config or {})
+        self.context_config = dict(kwargs)
+        self._plugin_class_registry = {}
+        for plugin in kwargs.get('register', ()) or ():
+            self.register(plugin)
+
+    def register(self, plugin_cls):
+        provides = plugin_cls.provides
+        if isinstance(provides, str):
+            provides = (provides,)
+        for p in provides:
+            self._plugin_class_registry[p] = plugin_cls
+        return plugin_cls
+
+    def set_config(self, config):
+        self.config.update(config)
+
+    def apply_cmt_version(self, version):
+        self.applied_cmt_version = version

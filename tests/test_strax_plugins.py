@@ -28,7 +28,9 @@ def sp():
     sys.modules['straxen'] = straxen_m
     sys.modules['immutabledict'] = imm_m
     import wfsim_tpu.interface.strax_plugins as m
+    import wfsim_tpu.interface.contexts as ctx
     importlib.reload(m)
+    importlib.reload(ctx)
     assert m.HAVE_STRAX
     try:
         yield m
@@ -39,6 +41,7 @@ def sp():
             else:
                 sys.modules[k] = v
         importlib.reload(m)
+        importlib.reload(ctx)
 
 
 def _base_config(**extra):
@@ -95,6 +98,43 @@ def test_fax_nt_sort_check_rejects_unsorted(sp):
     bad['time'] = [10_000_000, 5_000_000]
     with pytest.raises(RuntimeError, match='non-sorted'):
         p._sort_check(bad)
+
+
+def test_context_factories(sp, tmp_path):
+    """Construct every context factory and lint the plugin graph, like the
+    reference's tests/test_contexts.py:10-28."""
+    import wfsim_tpu.interface.contexts as ctx
+    assert ctx.HAVE_STRAX
+
+    st1 = ctx.xenon1t_simulation(output_folder=str(tmp_path))
+    assert st1._plugin_class_registry['raw_records'] \
+        is sp.RawRecordsFromFax1T
+    assert st1.config['detector'] == 'XENON1T'
+
+    st = ctx.xenonnt_simulation(output_folder=str(tmp_path),
+                                cmt_run_id_sim='026000')
+    for p in sp.RawRecordsFromFaxNT.provides:
+        assert p in st._plugin_class_registry
+    assert st.config['gain_model_mc'][:2] == ('cmt_run_id', '026000')
+    assert set(st.config['fax_config_override_from_cmt']) == {
+        'electron_lifetime_liquid', 'drift_velocity_liquid',
+        'drift_time_gate'}
+    # processing side pinned independently (divergent sim/proc CMT)
+    st_div = ctx.xenonnt_simulation(output_folder=str(tmp_path),
+                                    cmt_run_id_sim='026000',
+                                    cmt_run_id_proc='027000')
+    assert st_div.config['gain_model'][1] == '027000'
+    assert st_div.config['gain_model_mc'][1] == '026000'
+    with pytest.raises(RuntimeError, match='at least one CMT run id'):
+        ctx.xenonnt_simulation(output_folder=str(tmp_path))
+
+    st_off = ctx.xenonnt_simulation_offline(
+        output_folder=str(tmp_path), run_id='026000',
+        global_version='global_v9', fax_config='fax.json')
+    assert st_off.applied_cmt_version == 'global_v9'
+    assert st_off._plugin_class_registry['truth'] is sp.RawRecordsFromFaxNT
+    with pytest.raises(ValueError):
+        ctx.xenonnt_simulation_offline(output_folder=str(tmp_path))
 
 
 def test_mc_chain_with_stub_epix(sp):
