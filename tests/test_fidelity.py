@@ -19,8 +19,8 @@ def s1_run():
     inst['event_number'] = np.arange(6)
     inst['time'] = (np.arange(6) + 1) * 50_000_000
     inst['x'], inst['y'], inst['z'] = 10., 0., -50.
-    inst['amp'] = 30000
-    inst['recoil'] = 7
+    inst['amp'] = 300000     # ~2000 detected photons/event: sigma estimates
+    inst['recoil'] = 7       # fluctuate ~1%, so the moment bands can be tight
     sim = Simulator(c)
     out = sim.get_arrays(inst)
     return c, out
@@ -43,21 +43,48 @@ def _pulse_moments(rr, baseline):
     return mean, np.sqrt(max(var, 0))
 
 
+def _template_moments(c):
+    """Exact charge-weighted time centroid/variance of the SPE template
+    bank relative to the photon arrival time (phase-averaged): a photon at
+    time t with r = t % 10 contributes template[r][k] at time
+    t - r + 10k .. +10 (bin center 10k + 5 - r)."""
+    from wfsim_tpu.ops.waveform import make_templates
+    tm = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
+    means, raw2 = [], []
+    for r in range(tm.shape[0]):
+        w = tm[r] / tm[r].sum()
+        p = 10.0 * np.arange(tm.shape[1]) + 5.0 - r
+        m = float((w * p).sum())
+        means.append(m)
+        raw2.append(float((w * p * p).sum()))
+    centroid = np.mean(means)
+    var = np.mean(raw2) - centroid ** 2
+    return centroid, var
+
+
 def test_s1_waveform_moments_match_truth(s1_run):
     c, out = s1_run
     rr, truth = out['raw_records'], out['truth']
     assert len(truth) == 6
+    centroid, t_var = _template_moments(c)
+    excess = []
     for ev in range(6):
         sel = rr[(rr['time'] >= truth['time'][ev] - 10000)
                  & (rr['time'] <= truth['time'][ev] + 100000)]
         mean, std = _pulse_moments(sel, c['digitizer_reference_baseline'])
-        # waveform mean should sit at truth photon mean + the template
-        # centroid (~65 ns for the analytic SPE shape, charge-weighted)
+        # waveform mean = truth photon mean (post-TTS, like the reference's
+        # add_truth) + the exact template centroid
         offset = mean - truth['t_mean_photon'][ev]
-        assert 0 < offset < 200, offset
-        # width: photon-time sigma convolved with template width (~30 ns)
-        expect = np.sqrt(truth['t_sigma_photon'][ev] ** 2 + 30 ** 2)
-        assert abs(std - expect) < 0.35 * expect
+        assert abs(offset - centroid) < 15, (offset, centroid)
+        # width: photon-time sigma convolved with the exact template width
+        expect = np.sqrt(truth['t_sigma_photon'][ev] ** 2 + t_var)
+        assert abs(std - expect) < 0.08 * expect, (std, expect)
+        excess.append(std ** 2 - truth['t_sigma_photon'][ev] ** 2)
+    # pooled: the variance the DAQ adds on top of the photon times must be
+    # the template's second moment (gain weighting and ADC rounding make
+    # single events noisy; the 6-event mean pins it within ~20%)
+    assert abs(np.mean(excess) - t_var) < 0.35 * t_var, \
+        (np.mean(excess), t_var)
 
 
 def test_s1_area_vs_npe(s1_run):

@@ -891,7 +891,10 @@ class RawDataTPU:
                 time.perf_counter() - t0
             self.diag.add('payload_bytes', nbytes)
 
-        # phase 2: split per window
+        # phase 2: split per window and time-sort during the copy (records
+        # arrive in natural window/channel/interval order; applying the
+        # permutation here rides the record-array build, so the on-device
+        # lexsort — measured ~2 s per bench chunk — is gone for free)
         t_split0 = time.perf_counter()
         for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
             m_w, m_c, m_start, m_len, m_plen, m_reci = \
@@ -900,16 +903,17 @@ class RawDataTPU:
             bounds = np.searchsorted(m_w, np.arange(len(batch) + 1))
             for bi, wi in enumerate(batch):
                 sl = slice(bounds[bi], bounds[bi + 1])
+                order = np.lexsort((m_c[sl], m_start[sl]))
                 recs = np.zeros(bounds[bi + 1] - bounds[bi],
                                 dtype=raw_record_dtype(spr))
                 recs['time'] = ((np.int64(wins[wi]['win_left'])
-                                 + m_start[sl].astype(np.int64)) * dt)
-                recs['channel'] = m_c[sl]
+                                 + m_start[sl][order].astype(np.int64)) * dt)
+                recs['channel'] = m_c[sl][order]
                 recs['dt'] = dt
-                recs['length'] = m_len[sl]
-                recs['pulse_length'] = m_plen[sl]
-                recs['record_i'] = m_reci[sl]
-                recs['data'] = rdata[sl]
+                recs['length'] = m_len[sl][order]
+                recs['pulse_length'] = m_plen[sl][order]
+                recs['record_i'] = m_reci[sl][order]
+                recs['data'] = rdata[sl][order]
                 results[wi] = recs
                 self.diag.add('records', len(recs))
         self.diag.seconds['digitize_host_split'] += \
