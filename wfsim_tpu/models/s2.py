@@ -477,7 +477,11 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
             s = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
                 jnp.where(inst['valid'], vals, 0.0))
             truth[name] = s / jnp.maximum(cnt, 1.0)
-    req_counts = jnp.zeros(inst['x'].shape[0], jnp.int32).at[e_inst].add(
-        jnp.where(e_valid, n_ph_per_e, 0))
+    # per-instruction photon demand: e_inst is ascending, so the segment sum
+    # is a cumsum + boundary gathers (the scatter-add form was the single
+    # hottest op of the whole sim chain: 1.8 s/call on TPU at 2^18 electrons)
+    from ..ops.segment import segment_edges, sorted_segment_sum
+    e_edges = segment_edges(e_inst, inst['x'].shape[0])
+    req_counts = sorted_segment_sum(n_ph_per_e, e_edges, valid=e_valid)
     totals = dict(electrons=total_e, photons=total_ph, req_counts=req_counts)
     return photons, truth, totals

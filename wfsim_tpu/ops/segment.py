@@ -37,3 +37,30 @@ def repeat_to_capacity(values: jnp.ndarray, counts: jnp.ndarray, capacity: int):
     """np.repeat(values, counts) into a fixed-size buffer + validity mask."""
     seg_id, valid, total = segment_ids_from_counts(counts, capacity)
     return values[seg_id], seg_id, valid, total
+
+
+def segment_edges(seg_id_sorted: jnp.ndarray, n_segments: int):
+    """Boundary indices of ASCENDING segment ids: ``edges[s]`` is the first
+    position with ``seg_id >= s``, so segment s occupies
+    ``[edges[s], edges[s+1])``.  One searchsorted; reuse the result across
+    every :func:`sorted_segment_sum` on the same id array."""
+    return jnp.searchsorted(
+        seg_id_sorted, jnp.arange(n_segments + 1, dtype=jnp.int32),
+        side='left').astype(jnp.int32)
+
+
+def sorted_segment_sum(values: jnp.ndarray, edges: jnp.ndarray, valid=None):
+    """Per-segment sum for ascending segment ids: one cumsum plus boundary
+    gathers.
+
+    A scatter-add of a large batch into a small per-segment output lowers to
+    a serialized loop fusion on TPU (measured 1.8 s for 262k updates into
+    512 rows); this form is two vector passes (~1 ms at the same shape).
+    Integer values sum exactly; float32 cumsum carries O(N*eps*magnitude)
+    error — fine for counts/areas, not for second moments.
+    """
+    if valid is not None:
+        values = jnp.where(valid, values, jnp.zeros((), values.dtype))
+    c = jnp.cumsum(values)
+    tot = jnp.concatenate([jnp.zeros(1, c.dtype), c])
+    return tot[edges[1:]] - tot[edges[:-1]]

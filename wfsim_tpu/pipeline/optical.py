@@ -68,7 +68,9 @@ class RawDataOpticalTPU(RawDataTPU):
         tt[:n] = t.astype(np.int32)
         cc = np.zeros(cap, np.int32)
         cc[:n] = ch
-        rr = np.zeros(cap, np.int32)
+        # padded slots carry the last row so truth_row stays ascending for
+        # the cumsum-based truth counters (models/pmt.py); masked to zero
+        rr = np.full(cap, n_rows_cap - 1, np.int32)
         rr[:n] = row
         vv = np.zeros(cap, bool)
         vv[:n] = True

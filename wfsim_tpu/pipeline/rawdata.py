@@ -265,7 +265,11 @@ class RawDataTPU:
         if 'e_dep' in sel.dtype.names:
             out['e_dep'] = pad(sel['e_dep'], np.float32)
         out['valid'] = pad(np.ones(len(idx), bool), bool, False)
-        out['truth_row'] = pad(truth_rows, np.int32)
+        # padding slots carry the LAST truth row (not 0) so the per-photon
+        # truth_row stays ascending — the truth counters are cumsum-based
+        # segment sums that require sorted ids (models/pmt.py); padded
+        # contributions are masked to zero either way
+        out['truth_row'] = pad(truth_rows, np.int32, fill=n_rows - 1)
         return out, icap
 
     def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
