@@ -17,7 +17,8 @@ __all__ = ['pmt_response', 'photon_time_stats']
 
 
 def pmt_response(params, const, t, ch, valid, truth_row, key,
-                 *, n_truth_rows: int, preset_gain=None, count_truth=True):
+                 *, n_truth_rows: int, preset_gain=None, count_truth=True,
+                 row_edges=None):
     """Apply the PMT response to a photon batch.
 
     :param t: (N,) int32 photon times (window-relative ns)
@@ -27,6 +28,9 @@ def pmt_response(params, const, t, ch, valid, truth_row, key,
     :param preset_gain: (N,) float32 — set for PMT afterpulse photons, whose
         gains are assigned from amplitude CDFs and which skip TTS and DPE
         (reference: pulse.py:52-56, 95-107)
+    :param row_edges: optional (n_truth_rows+1,) int32 photon boundaries per
+        truth row (truth_row ascending); enables cumsum-based truth counters
+        instead of scatter-adds (which serialize into small outputs on TPU)
     :returns: (photons dict, truth dict or None)
     """
     k_tts, k_dpe, k_g1, k_g2 = jax.random.split(key, 4)
@@ -61,11 +65,12 @@ def pmt_response(params, const, t, ch, valid, truth_row, key,
 
     truth = None
     if count_truth:
-        truth = _pulse_truth(params, const, photons, n_truth_rows)
+        truth = _pulse_truth(params, const, photons, n_truth_rows,
+                             row_edges=row_edges)
     return photons, truth
 
 
-def _pulse_truth(params, const, ph, n_truth_rows: int):
+def _pulse_truth(params, const, ph, n_truth_rows: int, row_edges=None):
     """Truth counters per row (reference: wfsim/core/pulse.py:229-271).
 
     The trigger test: the photon's peak amplitude in ADC
@@ -74,7 +79,7 @@ def _pulse_truth(params, const, ph, n_truth_rows: int):
     positional quirk (``above_threshold[:n_double_pe]``, pulse.py:255); we use
     the exact DPE mask — statistically identical.
     """
-    from ..ops.segment import segment_edges, sorted_segment_sum
+    from ..ops.segment import sorted_segment_sum
     t, ch, gain, valid = ph['t'], ph['ch'], ph['gain'], ph['valid']
     row = jnp.where(valid, ph['truth_row'], 0)
     chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
@@ -95,11 +100,16 @@ def _pulse_truth(params, const, ph, n_truth_rows: int):
     # truth_row is ascending by construction (photons are generated grouped
     # by instruction), so per-row sums are cumsum+boundary-gather segment
     # sums — scatter-adds into the small (n_truth_rows,) output serialize
-    # on TPU (hundreds of ms per sim call at 2^21 photons)
-    edges = segment_edges(ph['truth_row'], n_truth_rows)
-
-    def acc(x):
-        return sorted_segment_sum(x, edges, valid=valid)
+    # on TPU (hundreds of ms per sim call at 2^21 photons). Callers pass
+    # the boundaries precomputed from count cumsums; the searchsorted
+    # fallback also lowers poorly at large N, so scatter is the fallback.
+    if row_edges is not None:
+        def acc(x):
+            return sorted_segment_sum(x, row_edges, valid=valid)
+    else:
+        def acc(x):
+            return jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+                jnp.where(valid, x.astype(jnp.float32), 0.0))
 
     out = {
         'n_photon': acc(v1),
@@ -120,8 +130,13 @@ def _pulse_truth(params, const, ph, n_truth_rows: int):
             out[name + '_per_pmt'] = acc2(x)
     else:
         bot = params.bottom_mask[chc] & valid
-        def accb(x):
-            return sorted_segment_sum(x, edges, valid=bot)
+        if row_edges is not None:
+            def accb(x):
+                return sorted_segment_sum(x, row_edges, valid=bot)
+        else:
+            def accb(x):
+                return jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
+                    jnp.where(bot, x.astype(jnp.float32), 0.0))
         for name, x in [('n_photon', v1), ('n_pe', pe_w),
                         ('n_photon_trigger', trig), ('n_pe_trigger', pe_trig),
                         ('raw_area', gain_over_g), ('raw_area_trigger', area_trig)]:

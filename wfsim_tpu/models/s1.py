@@ -178,9 +178,20 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
         t = t + trunc_int(_nest_table_delays(params, keys[2], rc, fld, edep,
                                              capacity))
 
+    # per-truth-row photon boundaries from the count cumsum (no large
+    # searchsorted/scatter on device — see ops/segment.py)
+    from ..ops.segment import edges_from_counts
+    inst_ph_off = edges_from_counts(n_hits, capacity)              # (I+1,)
+    row_first_inst = jnp.searchsorted(
+        inst['truth_row'].astype(jnp.int32),
+        jnp.arange(n_truth_rows + 1, dtype=jnp.int32), side='left')
+    row_edges = inst_ph_off[jnp.clip(row_first_inst, 0,
+                                     inst['x'].shape[0])]
+
     truth_row = inst['truth_row'][ph_inst]
     photons, truth = pmt_response(params, const, t, ch, ph_valid, truth_row,
-                                  keys[5], n_truth_rows=n_truth_rows)
+                                  keys[5], n_truth_rows=n_truth_rows,
+                                  row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
                               photons['truth_row'], n_truth_rows)
     truth.update({'photon_' + k: v for k, v in stats.items()})

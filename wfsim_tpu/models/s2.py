@@ -454,9 +454,24 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
 
     t = t + e_t[ph_e]
 
+    # per-instruction and per-truth-row photon boundaries, derived from the
+    # count cumsums (no large searchsorted/scatter: both lower to serialized
+    # loops on TPU — see ops/segment.py)
+    from ..ops.segment import edges_from_counts
+    e_off = edges_from_counts(n_electron, e_capacity)              # (I+1,)
+    tot_ph = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(jnp.where(e_valid, n_ph_per_e, 0))])
+    inst_ph_off = jnp.clip(tot_ph[e_off], 0, capacity)             # (I+1,)
+    row_first_inst = jnp.searchsorted(
+        inst['truth_row'].astype(jnp.int32),
+        jnp.arange(n_truth_rows + 1, dtype=jnp.int32), side='left')
+    row_edges = inst_ph_off[jnp.clip(row_first_inst, 0,
+                                     inst['x'].shape[0])]
+
     truth_row = inst['truth_row'][ph_inst]
     photons, truth = pmt_response(params, const, t, ch, ph_valid, truth_row,
-                                  keys[9], n_truth_rows=n_truth_rows)
+                                  keys[9], n_truth_rows=n_truth_rows,
+                                  row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
                               photons['truth_row'], n_truth_rows)
     truth.update({'photon_' + k: v for k, v in stats.items()})
@@ -477,11 +492,11 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
             s = jnp.zeros(n_truth_rows, jnp.float32).at[row].add(
                 jnp.where(inst['valid'], vals, 0.0))
             truth[name] = s / jnp.maximum(cnt, 1.0)
-    # per-instruction photon demand: e_inst is ascending, so the segment sum
-    # is a cumsum + boundary gathers (the scatter-add form was the single
-    # hottest op of the whole sim chain: 1.8 s/call on TPU at 2^18 electrons)
-    from ..ops.segment import segment_edges, sorted_segment_sum
-    e_edges = segment_edges(e_inst, inst['x'].shape[0])
-    req_counts = sorted_segment_sum(n_ph_per_e, e_edges, valid=e_valid)
+    # per-instruction photon demand: photon-count cumsum differenced at the
+    # electron boundaries of each instruction (the scatter-add form was the
+    # single hottest op of the whole sim chain, 1.8 s/call at 2^18
+    # electrons; a searchsorted over the electron axis lowered to a 1.4 s
+    # loop fusion — both gone)
+    req_counts = tot_ph[e_off[1:]] - tot_ph[e_off[:-1]]
     totals = dict(electrons=total_e, photons=total_ph, req_counts=req_counts)
     return photons, truth, totals

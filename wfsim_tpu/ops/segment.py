@@ -42,11 +42,24 @@ def repeat_to_capacity(values: jnp.ndarray, counts: jnp.ndarray, capacity: int):
 def segment_edges(seg_id_sorted: jnp.ndarray, n_segments: int):
     """Boundary indices of ASCENDING segment ids: ``edges[s]`` is the first
     position with ``seg_id >= s``, so segment s occupies
-    ``[edges[s], edges[s+1])``.  One searchsorted; reuse the result across
-    every :func:`sorted_segment_sum` on the same id array."""
+    ``[edges[s], edges[s+1])``.
+
+    NOTE: searchsorted over a large device array lowers poorly on TPU
+    (measured 1.4 s at 262k elements x 513 queries); when the ids came from
+    :func:`segment_ids_from_counts`, build the edges directly from the
+    counts with :func:`edges_from_counts` instead.
+    """
     return jnp.searchsorted(
         seg_id_sorted, jnp.arange(n_segments + 1, dtype=jnp.int32),
         side='left').astype(jnp.int32)
+
+
+def edges_from_counts(counts: jnp.ndarray, capacity: int):
+    """Exact segment boundaries (S+1,) for ids produced by
+    :func:`segment_ids_from_counts` — one tiny cumsum, no search."""
+    csum = jnp.clip(jnp.cumsum(counts.astype(jnp.int32)), 0, capacity)
+    return jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), csum]).astype(jnp.int32)
 
 
 def sorted_segment_sum(values: jnp.ndarray, edges: jnp.ndarray, valid=None):

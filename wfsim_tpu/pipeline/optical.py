@@ -17,10 +17,11 @@ from .rawdata import RawDataTPU, _bucket
 __all__ = ['RawDataOpticalTPU']
 
 
-def _optical_response(params, const, t, ch, valid, truth_row, key,
+def _optical_response(params, const, t, ch, valid, truth_row, row_edges, key,
                       *, n_truth_rows):
     photons, truth = pmt_response(params, const, t, ch, valid, truth_row, key,
-                                  n_truth_rows=n_truth_rows)
+                                  n_truth_rows=n_truth_rows,
+                                  row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
                               photons['truth_row'], n_truth_rows)
     truth.update({'photon_' + k: v for k, v in stats.items()})
@@ -75,14 +76,17 @@ class RawDataOpticalTPU(RawDataTPU):
         vv = np.zeros(cap, bool)
         vv[:n] = True
 
-        photons, truth = _optical_jit(
-            self.params, self.const, jnp.asarray(tt), jnp.asarray(cc),
-            jnp.asarray(vv), jnp.asarray(rr), self._next_key(),
-            n_truth_rows=n_rows_cap)
-
         # per-instruction slot layout: photons were packed contiguously per
         # instruction on the host above
         req = np.array([len(tl) for tl in t_list], np.int64)
+        row_edges = np.zeros(n_rows_cap + 1, np.int32)
+        row_edges[1:len(req) + 1] = np.cumsum(req)
+        row_edges[len(req) + 1:] = row_edges[len(req)]
+
+        photons, truth = _optical_jit(
+            self.params, self.const, jnp.asarray(tt), jnp.asarray(cc),
+            jnp.asarray(vv), jnp.asarray(rr), jnp.asarray(row_edges),
+            self._next_key(), n_truth_rows=n_rows_cap)
 
         job = dict(kind='s1', idx=idx, base_time=base_time,
                    row_members=[[i] for i in range(len(sel))],
