@@ -87,26 +87,29 @@ _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
                                                     'capacity', 'n_truth_rows'))
 
 
-def _start_sliced_copies(arrays, target_bytes=3_000_000):
-    """Begin async device->host copies of `arrays` in ~3 MB slices; returns
+def _start_sliced_copies(arrays, target_bytes=16_000_000):
+    """Begin async device->host copies of `arrays` in ~16 MB slices; returns
     a token for `_collect_sliced`.
 
-    The remote-TPU transport moves medium (~3 MB) buffers an order of
-    magnitude faster than one large buffer (measured 1.5 MB/s single-buffer
-    vs ~22 MB/s sliced on the axon tunnel); on directly-attached hardware
-    the slicing is a harmless no-op cost-wise. Splitting start/collect lets
-    the caller overlap host-side work on early arrays with later transfers.
+    The remote-TPU transport stalls on one very large buffer (measured
+    1.5 MB/s single-buffer vs full ~32 MB/s at 3-16 MB slices on the axon
+    tunnel), but every slice op costs ~4 ms to dispatch and every collect a
+    ~5-30 ms round trip, so slices are kept as LARGE as the transport
+    tolerates and sub-slicing is skipped entirely for buffers under 2x the
+    target. On directly-attached hardware the slicing is a harmless no-op
+    cost-wise. Splitting start/collect lets the caller overlap host-side
+    work on early arrays with later transfers.
     """
     token = []
     for a in arrays:
         n = int(a.shape[0])
-        k = max(1, int(round(a.nbytes / target_bytes))) if n > 1 else 1
-        k = min(k, n) if n else 1
-        bounds = np.linspace(0, n, k + 1).astype(int)
-        sl = [a[bounds[i]:bounds[i + 1]] for i in range(k)
-              if bounds[i + 1] > bounds[i]]
-        if not sl:
+        if a.nbytes <= 2 * target_bytes or n <= 1:
             sl = [a]
+        else:
+            k = min(max(1, int(round(a.nbytes / target_bytes))), n)
+            bounds = np.linspace(0, n, k + 1).astype(int)
+            sl = [a[bounds[i]:bounds[i + 1]] for i in range(k)
+                  if bounds[i + 1] > bounds[i]] or [a]
         for s in sl:
             try:
                 s.copy_to_host_async()
@@ -446,7 +449,10 @@ class RawDataTPU:
     def _pack_device(tree):
         """Concatenate a dict of device arrays into at most two flat device
         arrays (int32 + float32) so fetching costs two transfers, not one per
-        field.  Returns (groups, spec); nothing blocks."""
+        field.  Returns (groups, spec); nothing blocks — the device->host
+        copies are STARTED here (async, queued behind the producing
+        kernels), so the later blocking unpack pays no tunnel round-trip
+        latency per batch (~0.2-0.5 s each through the relay)."""
         items = sorted(tree.items())
         ints = [(k, v) for k, v in items
                 if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool]
@@ -459,6 +465,10 @@ class RawDataTPU:
             groups[name] = jnp.concatenate(
                 [jnp.ravel(v).astype(dt) for _, v in group])
             spec[name] = [(k, v.shape) for k, v in group]
+            try:
+                groups[name].copy_to_host_async()
+            except Exception:
+                pass
         return groups, spec
 
     @staticmethod
