@@ -331,3 +331,55 @@ def test_truth_grouping_parity(save_full_truth):
                       for g in oracle)
     got = sorted((int(r['type']), int(r['amp'])) for r in truth)
     assert got == expected, f'{got} != {expected}'
+
+
+def test_window_subsplit_preserves_signal_content():
+    """Digitizing a drift-wide S1+S2 flush window in sub-windows (the
+    default no-noise optimization) must reproduce the unsplit window's
+    signal exactly: every non-baseline, non-zero sample agrees in absolute
+    time and value. (Record boundaries may shift by one baseline-padding
+    sample on channels hit in several sub-windows — the documented
+    re-anchoring deviation.)"""
+    from wfsim_tpu.config import default_config
+    from wfsim_tpu.dtypes import instruction_dtype
+    from wfsim_tpu.interface.simulator import Simulator
+
+    n = 6
+    rng = np.random.default_rng(9)
+    inst = np.zeros(2 * n, dtype=instruction_dtype)
+    inst['event_number'] = np.repeat(np.arange(n), 2)
+    inst['type'] = np.tile([1, 2], n)
+    inst['time'] = np.repeat((np.arange(n) + 1) * 3_000_000, 2)
+    inst['x'] = np.repeat(rng.uniform(-30, 30, n), 2)
+    inst['y'] = np.repeat(rng.uniform(-30, 30, n), 2)
+    inst['z'] = np.repeat(rng.uniform(-85, -55, n), 2)   # long drifts
+    inst['amp'] = np.tile([800, 120], n)
+    inst['recoil'] = 7
+
+    def run(split):
+        c = default_config()
+        c['seed'] = 13
+        if not split:
+            c['split_digitize_gap_ns'] = 10 ** 15
+        return Simulator(c).get_arrays(inst.copy())
+
+    def signal_samples(out, baseline):
+        sig = {}
+        for rec in out['raw_records']:
+            d = rec['data'][:rec['length']]
+            ts = rec['time'] // 10 + np.arange(rec['length'])
+            m = (d != 0) & (d != baseline)
+            for s, v in zip(ts[m], d[m]):
+                sig[(int(rec['channel']), int(s))] = int(v)
+        return sig
+
+    a = run(split=True)
+    b = run(split=False)
+    base = default_config()['digitizer_reference_baseline']
+    sa = signal_samples(a, base)
+    sb = signal_samples(b, base)
+    assert len(sb) > 1000
+    assert sa == sb
+    # truth is entirely unaffected by the digitize window layout
+    for f in ('n_photon', 'n_pe', 'n_electron'):
+        np.testing.assert_array_equal(a['truth'][f], b['truth'][f])

@@ -74,10 +74,13 @@ class ChunkRawRecords:
             self.last_digitized_right = self.current_digitized_right
             self.current_digitized_right = win['win_right']
 
-            if win['win_left'] * dt > self.chunk_time + rext:
+            if win['win_left'] * dt > self.chunk_time + rext \
+                    and win.get('flush', True):
                 # Pause the stream at a chunk boundary; extend the boundary if
                 # it fell inside a digitized event
-                # (reference: strax_interface.py:398-418)
+                # (reference: strax_interface.py:398-418). Sub-split windows
+                # (flush=False) never pause: chunk boundaries see reference
+                # flush-cache granularity.
                 if (self.last_digitized_right + 1) * dt > self.chunk_time:
                     self.chunk_time = (self.last_digitized_right + 1) * dt
                 yield from self.final_results()

@@ -748,6 +748,26 @@ class RawDataTPU:
 
         pulses = sorted(self._pulses, key=lambda p: p.t_min)
 
+        # Sub-split threshold: a flush group (reference cache) is digitized
+        # in sub-windows when it contains internal gaps so large that no ZLE
+        # interval, pad or holdoff bridge can cross them.  This collapses
+        # the grid cost of drift-dominated S1+S2 windows (mostly empty span
+        # between the pulses) by ~4x.  Only in the no-noise slim regime:
+        # with noise on, the per-channel noise overlay spans the unsplit
+        # channel window, so splitting would change where noise lands.
+        # Deviation note: for a channel with photons in several sub-windows
+        # the reference anchors its even-sample alignment at the channel's
+        # first pulse; sub-windows re-anchor locally, which can shift record
+        # boundaries by one baseline-padding sample on such channels.  Set
+        # split_digitize_gap_ns to a huge value for exact unsplit behavior.
+        holdoff_w = 2 * self.const.trigger_window + 1
+        slim = (not self.const.enable_noise
+                and self.const.high_energy_deamp_int == 0)
+        split_gap = self.config.get('split_digitize_gap_ns')
+        if split_gap is None:
+            split_gap = (max(4 * (margin_l + margin_r + holdoff_w) * dt,
+                             20_000) if slim else 0)
+
         # build the device photon arena (pure device-side concatenation);
         # under a mesh the arena replicates — every chip sees all photons and
         # gathers its own window batch shard from them
@@ -771,9 +791,31 @@ class RawDataTPU:
             cur_end = max(cur_end, p.t_max + margin_r * dt)
         groups.append(cur)
 
+        # sub-split each flush group at unbridgeable internal gaps; the
+        # first sub-window of each group keeps flush=True so the chunker's
+        # pause/boundary-extension semantics still see reference flush
+        # granularity (strax_interface.py:398-418)
+        subs: ty.List[ty.Tuple[ty.List[_Pulse], bool]] = []
+        for grp in groups:
+            if not split_gap:
+                subs.append((grp, True))
+                continue
+            cur = [grp[0]]
+            first = True
+            cur_end = grp[0].t_max + margin_r * dt
+            for p in grp[1:]:
+                if p.t_min - margin_l * dt - cur_end > split_gap:
+                    subs.append((cur, first))
+                    first = False
+                    cur = [p]
+                else:
+                    cur.append(p)
+                cur_end = max(cur_end, p.t_max + margin_r * dt)
+            subs.append((cur, first))
+
         # window descriptors (in time order)
         wins = []
-        for grp in groups:
+        for grp, flush in subs:
             t_min = min(p.t_min for p in grp)
             t_max = max(p.t_max for p in grp)
             win_left = t_min // dt - margin_l
@@ -786,7 +828,7 @@ class RawDataTPU:
             wins.append(dict(grp=grp, win_left=int(win_left),
                              win_right=int(win_right),
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
-                             n_phot=n_phot))
+                             n_phot=n_phot, flush=flush))
 
         # bucket windows by (T_cap, N_cap, P_cap); coarse buckets: each
         # distinct shape costs a compile, each call a dispatch round trip
@@ -940,4 +982,4 @@ class RawDataTPU:
             self.instruction_event_number = min(p.event_number
                                                 for p in w['grp'])
             yield dict(win_left=w['win_left'], win_right=w['win_right'],
-                       records=results[wi])
+                       flush=w.get('flush', True), records=results[wi])
