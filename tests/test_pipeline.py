@@ -383,3 +383,32 @@ def test_window_subsplit_preserves_signal_content():
     # truth is entirely unaffected by the digitize window layout
     for f in ('n_photon', 'n_pe', 'n_electron'):
         np.testing.assert_array_equal(a['truth'][f], b['truth'][f])
+
+
+def test_s1_capacity_overflow_retry():
+    """S1 photon buffers are sized by expected yield; an undersized first
+    attempt must be detected via req_counts and re-run at larger capacity
+    (same key, so the per-instruction detected-photon counts are
+    unchanged)."""
+    from wfsim_tpu.config import default_config
+    from wfsim_tpu.dtypes import instruction_dtype
+    from wfsim_tpu.interface.simulator import Simulator
+
+    inst = np.zeros(4, dtype=instruction_dtype)
+    inst['type'] = 1
+    inst['event_number'] = np.arange(4)
+    inst['time'] = (np.arange(4) + 1) * 10_000_000
+    inst['x'], inst['y'], inst['z'] = 10., 0., -50.
+    inst['amp'] = 20000
+    inst['recoil'] = 7
+
+    c = default_config()
+    c['seed'] = 5
+    ref = Simulator(c).get_arrays(inst.copy())
+
+    sim = Simulator(c)
+    sim.sim.rawdata._s1_ly_bound = 1e-5   # force a hopeless first attempt
+    out = sim.get_arrays(inst.copy())
+    np.testing.assert_array_equal(out['truth']['n_photon'],
+                                  ref['truth']['n_photon'])
+    assert len(out['raw_records']) > 0

@@ -188,6 +188,16 @@ class RawDataTPU:
         self.last_pulse_end_time = -np.inf
         self.diag = Timers()
         self._validate_model_types()
+        # exact upper bound on the S1 light yield (multilinear interpolation
+        # never exceeds the grid max) — sizes S1 photon buffers by expected
+        # yield instead of the quanta count (was ~5x oversized)
+        try:
+            lce_max = float(np.max(np.asarray(self.params.s1_lce.values)))
+        except Exception:
+            lce_max = 1.0
+        self._s1_ly_bound = min(
+            max(lce_max, 0.0) / (1 + float(self.config['p_double_pe_emision']))
+            * float(self.config.get('s1_detection_efficiency', 1.0)), 1.0)
 
     # -- utilities ---------------------------------------------------------
 
@@ -318,9 +328,11 @@ class RawDataTPU:
         amps = instructions['amp'][idx].astype(np.float64)
         key = self._next_key()
         if kind == 's1':
-            # exact bound: a binomial draw can never exceed the quanta count,
-            # so no overflow retry is ever needed
-            cap = _bucket(int(amps.sum()) + 8)
+            # expected-yield sizing with a 6-sigma binomial margin; the rare
+            # overflow re-runs at a larger capacity in the finalize step
+            # (same key -> identical draws, so the retry converges)
+            mean = amps.sum() * self._s1_ly_bound
+            cap = _bucket(int(mean + 6.0 * np.sqrt(max(mean, 1.0))) + 64)
             photons, truth, totals = _sim_s1_jit(
                 self.params, self.const, inst, key,
                 capacity=cap, n_truth_rows=n_rows_cap)
@@ -373,29 +385,34 @@ class RawDataTPU:
         truth_h = self._unpack_host(*job['truth_pack'])
         req = truth_h.pop('_req')[:len(idx)]
 
-        if kind != 's1':
-            cap = job['cap']
-            for _attempt in range(6):
-                if int(req.sum()) <= cap:
-                    break
-                cap = _bucket(max(int(req.sum()), cap * 2))
+        cap = job['cap']
+        for _attempt in range(6):
+            if int(req.sum()) <= cap:
+                break
+            cap = _bucket(max(int(req.sum()), cap * 2))
+            if kind == 's1':
+                photons, truth, totals = _sim_s1_jit(
+                    self.params, self.const, job['inst'], job['key'],
+                    capacity=cap, n_truth_rows=n_rows_cap)
+            else:
                 photons, truth, totals = _sim_s2_jit(
                     self.params, self.const, job['inst'], job['key'],
                     e_capacity=job['ecap'], capacity=cap,
                     n_truth_rows=n_rows_cap)
-                truth_h = self._unpack_host(*self._pack_device(
-                    dict(truth, _req=totals['req_counts'])))
-                req = truth_h.pop('_req')[:len(idx)]
-                if 'ap_photons' in job:
-                    ap_photons, ap_info = pmt_afterpulse_photons(
-                        self.params, self.const, photons, job['ap_key'],
-                        ap_capacity=job['ap_cap'], n_truth_rows=n_rows_cap)
-                    job['ap_photons'] = ap_photons
-                    job['ap_pack'] = self._pack_device(
-                        {k: ap_info[k] for k in ('counts', 't_min', 't_max',
-                                                 'total')})
-            else:
-                raise RuntimeError('photon capacity runaway')
+            job['photons'] = photons
+            truth_h = self._unpack_host(*self._pack_device(
+                dict(truth, _req=totals['req_counts'])))
+            req = truth_h.pop('_req')[:len(idx)]
+            if 'ap_photons' in job:
+                ap_photons, ap_info = pmt_afterpulse_photons(
+                    self.params, self.const, photons, job['ap_key'],
+                    ap_capacity=job['ap_cap'], n_truth_rows=n_rows_cap)
+                job['ap_photons'] = ap_photons
+                job['ap_pack'] = self._pack_device(
+                    {k: ap_info[k] for k in ('counts', 't_min', 't_max',
+                                             'total')})
+        else:
+            raise RuntimeError('photon capacity runaway')
 
         ap_photons = ap_h = None
         if 'ap_photons' in job:
@@ -912,33 +929,32 @@ class RawDataTPU:
                     baseline=baseline)
                 n = max(n_rec, 1)
                 nv = max(n_val, 1)
-                # start the async wire copies of the bulk buffers
-                # immediately — transfers of early calls overlap pack compute
-                # of later ones, and the collect loop below overlaps decode
-                # with the transfers still in flight. The (tiny) escape
-                # buffer needs the pack's own n_escapes to slice, so those
-                # counts go out in one stacked fetch after all packs are
-                # queued.
+                # start the async wire copies of ALL buffers immediately —
+                # transfers of early calls overlap pack compute of later
+                # ones, and the collect loop below overlaps decode with the
+                # transfers still in flight. The escape stream's exact count
+                # lives on device, so its slice uses a generous host-side
+                # bound (escapes are DPCM outliers, a few % of values); the
+                # rare overflow triggers one blocking refetch below.
+                ne_bound = min(nv // 8 + 256, nv)
                 tok = _start_sliced_copies([packed['rec_meta'][:n],
                                             packed['rec_masks'][:n],
-                                            packed['rec_values'][:nv]])
-                sizes.append((n_rec, n_val, tok, packed))
-            esc_counts = np.asarray(jnp.stack(
-                [p['n_escapes'] for *_, p in sizes])) if sizes else []
-            sizes = [(n_rec, n_val, tok,
-                      _start_sliced_copies(
-                          [p['rec_escapes'][:max(int(ne), 1)]]),
-                      int(ne))
-                     for (n_rec, n_val, tok, p), ne in zip(sizes, esc_counts)]
+                                            packed['rec_values'][:nv],
+                                            packed['rec_escapes'][:ne_bound]])
+                sizes.append((n_rec, n_val, ne_bound, tok, packed))
             self.diag.seconds['digitize_pack_dispatch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             nbytes = 0
-            for n_rec, n_val, tok, etok, n_esc in sizes:
-                meta, masks, vals = _collect_sliced(tok)
-                (escs,) = _collect_sliced(etok)
+            for n_rec, n_val, ne_bound, tok, packed in sizes:
+                meta, masks, vals, escs = _collect_sliced(tok)
                 nbytes += (meta.nbytes + masks.nbytes + vals.nbytes
                            + escs.nbytes)
+                n_esc = int(np.count_nonzero(vals[:n_val] == -128))
+                if n_esc > ne_bound:
+                    escs = _fetch_in_slices(
+                        [packed['rec_escapes'][:n_esc]])[0]
+                    nbytes += escs.nbytes
                 meta = meta[:n_rec]
                 rdata = decode_records(meta, masks[:n_rec],
                                        vals[:n_val], escs[:n_esc], baseline)
