@@ -123,6 +123,17 @@ def _nest_table_delays(params, key, recoil_cls, field, energy, n):
     return out
 
 
+def s1_photon_demand(params, const, inst, key):
+    """Exact total detected-photon demand of a batch (int32 scalar): the
+    binomial yield draw only, (I,)-sized work.  Same key split as
+    :func:`simulate_s1`, so the full kernel reproduces the same counts."""
+    keys = jax.random.split(key, 6)
+    positions = jnp.stack([inst['x'], inst['y'], inst['z']], axis=1)
+    n_hits = s1_n_photon_hits(params, const, positions, inst['amp'],
+                              inst['valid'], keys[0])
+    return jnp.sum(n_hits).astype(jnp.int32)
+
+
 def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
     """Simulate a padded batch of S1 instructions into a photon batch.
 

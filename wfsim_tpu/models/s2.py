@@ -360,16 +360,13 @@ def s2_photon_channels(params, const, key, xy_obs, ph_inst, ph_valid,
 # Full chain
 
 
-def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
-                n_truth_rows: int):
-    """Simulate a padded batch of S2-like instructions (types 2, 4, 6 all use
-    this chain, as in the reference where pi_el/pe_el subclass S2).
-
-    :param inst: dict with (I,) arrays: time (i32 rel), x, y, z, amp (=
-        electrons), recoil, valid, truth_row
-    :returns: (photons, truth, totals dict)
+def _s2_electron_stage(params, const, inst, keys, *, e_capacity: int):
+    """FDC + yields + per-electron arrivals + per-electron photon counts —
+    everything that determines the photon demand, split out so a cheap
+    demand pre-pass (:func:`s2_photon_demand`) can size the photon axis
+    exactly before the full kernel runs.  Draw-for-draw identical between
+    the pre-pass and the full chain: both split the same key the same way.
     """
-    keys = jax.random.split(key, 10)
     x, y, z = inst['x'], inst['y'], inst['z']
 
     # Field distortion (reference: s2.py:81-88)
@@ -401,6 +398,38 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
         n_ph_per_e = n_ph_per_e + trunc_int(
             jax.random.normal(keys[4], (e_capacity,)) * const.s2_gain_spread)
     n_ph_per_e = jnp.where(e_valid, jnp.maximum(n_ph_per_e, 0), 0)
+    return dict(z_obs=z_obs, positions=positions, xy_int=xy_int,
+                n_electron=n_electron, sc_gain=sc_gain, e_inst=e_inst,
+                e_valid=e_valid, total_e=total_e, e_t=e_t,
+                n_ph_per_e=n_ph_per_e)
+
+
+def s2_photon_demand(params, const, inst, key, *, e_capacity: int):
+    """Exact total photon demand of a batch (int32 scalar) — the electron
+    stage only, ~e_capacity work instead of photon-capacity work.  Lets the
+    host size the photon axis exactly (the worst-case gain bound oversized
+    it ~4-5x at bench shapes)."""
+    keys = jax.random.split(key, 10)
+    st = _s2_electron_stage(params, const, inst, keys, e_capacity=e_capacity)
+    return jnp.sum(jnp.where(st['e_valid'], st['n_ph_per_e'],
+                             0)).astype(jnp.int32)
+
+
+def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
+                n_truth_rows: int):
+    """Simulate a padded batch of S2-like instructions (types 2, 4, 6 all use
+    this chain, as in the reference where pi_el/pe_el subclass S2).
+
+    :param inst: dict with (I,) arrays: time (i32 rel), x, y, z, amp (=
+        electrons), recoil, valid, truth_row
+    :returns: (photons, truth, totals dict)
+    """
+    keys = jax.random.split(key, 10)
+    st = _s2_electron_stage(params, const, inst, keys, e_capacity=e_capacity)
+    z_obs, positions, xy_int = st['z_obs'], st['positions'], st['xy_int']
+    n_electron, sc_gain = st['n_electron'], st['sc_gain']
+    e_inst, e_valid, total_e = st['e_inst'], st['e_valid'], st['total_e']
+    e_t, n_ph_per_e = st['e_t'], st['n_ph_per_e']
 
     ph_e, ph_valid, total_ph = segment_ids_from_counts(n_ph_per_e, capacity)
     ph_inst = e_inst[ph_e]

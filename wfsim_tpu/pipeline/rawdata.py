@@ -36,8 +36,8 @@ from ..config import finalize_config
 from ..dtypes import PULSE_TYPE_NAMES
 from ..resources.loader import load_config
 from ..models.params import build_params, build_constants
-from ..models.s1 import simulate_s1
-from ..models.s2 import simulate_s2
+from ..models.s1 import simulate_s1, s1_photon_demand
+from ..models.s2 import simulate_s2, s2_photon_demand
 from ..models.afterpulse import (
     pmt_afterpulse_photons, photon_summaries,
     generate_pi_el_instructions, generate_pe_el_instructions)
@@ -85,6 +85,9 @@ _sim_s1_jit = jax.jit(simulate_s1, static_argnames=('const', 'capacity',
                                                     'n_truth_rows'))
 _sim_s2_jit = jax.jit(simulate_s2, static_argnames=('const', 'e_capacity',
                                                     'capacity', 'n_truth_rows'))
+_s1_demand_jit = jax.jit(s1_photon_demand, static_argnames=('const',))
+_s2_demand_jit = jax.jit(s2_photon_demand,
+                         static_argnames=('const', 'e_capacity'))
 
 
 def _start_sliced_copies(arrays, target_bytes=16_000_000):
@@ -285,11 +288,10 @@ class RawDataTPU:
         out['truth_row'] = pad(truth_rows, np.int32, fill=n_rows - 1)
         return out, icap
 
-    def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
-        """Launch all device work for one padded batch of same-chain
-        instructions and return a job handle.  Nothing here blocks on the
-        device, so compute for many batches pipelines; the results are
-        collected later by :meth:`_finalize_type_batch`."""
+    def _prepare_type_batch(self, instructions, idx, kind):
+        """Host-side batch prep: truth-row layout, padded instruction batch,
+        RNG key and capacity bounds — everything needed to dispatch either
+        the demand pre-pass or the full kernel."""
         base_time = int(np.min(instructions['time'][idx]))
         # truth rows: one per instruction for s1/s2 (save_full_truth, the
         # default), or grouped — S1s within 100 ns, S2s within 2 mm of drift —
@@ -326,29 +328,53 @@ class RawDataTPU:
         inst, icap = self._make_inst_batch(instructions, idx, base_time,
                                            truth_rows, n_rows_cap)
         amps = instructions['amp'][idx].astype(np.float64)
-        key = self._next_key()
-        if kind == 's1':
-            # expected-yield sizing with a 6-sigma binomial margin; the rare
-            # overflow re-runs at a larger capacity in the finalize step
-            # (same key -> identical draws, so the retry converges)
+        ecap = _bucket(int(amps.sum()) + 64, lo=256) if kind != 's1' else 0
+        return dict(kind=kind, idx=idx, base_time=base_time,
+                    truth_rows=truth_rows, row_members=row_members,
+                    n_rows_cap=n_rows_cap, inst=inst, icap=icap,
+                    amps=amps, ecap=ecap, key=self._next_key())
+
+    def _conservative_cap(self, prep):
+        """Worst-case photon capacity when no demand pre-pass ran."""
+        amps = prep['amps']
+        if prep['kind'] == 's1':
             mean = amps.sum() * self._s1_ly_bound
-            cap = _bucket(int(mean + 6.0 * np.sqrt(max(mean, 1.0))) + 64)
+            return _bucket(int(mean + 6.0 * np.sqrt(max(mean, 1.0))) + 64)
+        sc = (self.config['s2_secondary_sc_gain']
+              / (1 + self.config['p_double_pe_emision']))
+        return _bucket(int(amps.sum() * max(sc, 1.0) * 1.4) + 256)
+
+    def _dispatch_demand(self, prep):
+        """Queue the (tiny) exact photon-demand kernel for a prepared batch;
+        same key and shapes as the full kernel, so the draws agree."""
+        if prep['kind'] == 's1':
+            return _s1_demand_jit(self.params, self.const, prep['inst'],
+                                  prep['key'])
+        return _s2_demand_jit(self.params, self.const, prep['inst'],
+                              prep['key'], e_capacity=prep['ecap'])
+
+    def _dispatch_prepared(self, prep, want_gen, cap):
+        """Launch all device work for one prepared batch at photon capacity
+        ``cap`` and return a job handle.  Nothing here blocks on the device,
+        so compute for many batches pipelines; the results are collected
+        later by :meth:`_finalize_type_batch`."""
+        kind, idx = prep['kind'], prep['idx']
+        base_time = prep['base_time']
+        n_rows_cap = prep['n_rows_cap']
+        row_members = prep['row_members']
+        inst, key, ecap = prep['inst'], prep['key'], prep['ecap']
+        if kind == 's1':
             photons, truth, totals = _sim_s1_jit(
                 self.params, self.const, inst, key,
                 capacity=cap, n_truth_rows=n_rows_cap)
         else:
-            sc = (self.config['s2_secondary_sc_gain']
-                  / (1 + self.config['p_double_pe_emision']))
-            cap = _bucket(int(amps.sum() * max(sc, 1.0) * 1.4) + 256)
-            ecap = _bucket(int(amps.sum()) + 64, lo=256)
             photons, truth, totals = _sim_s2_jit(
                 self.params, self.const, inst, key,
                 e_capacity=ecap, capacity=cap, n_truth_rows=n_rows_cap)
 
         job = dict(kind=kind, idx=idx, base_time=base_time,
                    row_members=row_members, n_rows_cap=n_rows_cap,
-                   inst=inst, key=key, cap=cap,
-                   ecap=ecap if kind != 's1' else 0,
+                   inst=inst, key=key, cap=cap, ecap=ecap,
                    photons=photons,
                    truth_pack=self._pack_device(
                        dict(truth, _req=totals['req_counts'])))
@@ -372,6 +398,13 @@ class RawDataTPU:
                 photons, self._next_key(), n_inst=n_rows_cap)
             job['summ_pack'] = self._pack_device(dict(counts=counts_d, tz=tz_d))
         return job
+
+    def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
+        """Legacy one-shot dispatch (subclass override point; the production
+        loop uses prepare + batched demand pre-pass + dispatch instead)."""
+        prep = self._prepare_type_batch(instructions, idx, kind)
+        return self._dispatch_prepared(prep, want_gen,
+                                       self._conservative_cap(prep))
 
     def _finalize_type_batch(self, job, instructions, truth_sink, gen_sink):
         """Collect one dispatched batch: fetch packed summaries (blocking, but
@@ -704,7 +737,8 @@ class RawDataTPU:
         # phase 1: dispatch every batch (device work pipelines);
         # phase 2: finalize in order (fetches overlap remaining compute)
         t_d0 = time.perf_counter()
-        jobs = []
+        want_gen = gen_sink is not None
+        batch_list = []
         for kind, idxs in batches.items():
             if not idxs:
                 continue
@@ -717,17 +751,34 @@ class RawDataTPU:
                 if cur and (len(cur) >= MAX_BATCH_INST
                             or cur_amp + amps[j] > limit
                             or t0[j] - cur_t0 > MAX_SPAN_NS):
-                    jobs.append(self._dispatch_type_batch(
-                        instructions, np.asarray(cur), kind,
-                        gen_sink is not None))
+                    batch_list.append((kind, np.asarray(cur)))
                     cur, cur_amp, cur_t0 = [], 0.0, None
                 if cur_t0 is None:
                     cur_t0 = t0[j]
                 cur.append(i)
                 cur_amp += amps[j]
             if cur:
-                jobs.append(self._dispatch_type_batch(
-                    instructions, np.asarray(cur), kind, gen_sink is not None))
+                batch_list.append((kind, np.asarray(cur)))
+
+        if type(self)._dispatch_type_batch is RawDataTPU._dispatch_type_batch:
+            # production path: queue the exact photon-demand pre-pass for
+            # every batch, fetch all demands in one stacked transfer, then
+            # dispatch the full kernels at exact capacities (the worst-case
+            # gain bound oversized the S2 photon axis 4-5x)
+            preps = [self._prepare_type_batch(instructions, idx, kind)
+                     for kind, idx in batch_list]
+            demands_d = [self._dispatch_demand(p) for p in preps]
+            demands = (np.asarray(jnp.stack(demands_d)) if demands_d
+                       else np.zeros(0, np.int32))
+            jobs = [self._dispatch_prepared(
+                        p, want_gen, _bucket(int(d) + 64))
+                    for p, d in zip(preps, demands)]
+        else:
+            # subclass with a custom dispatch (e.g. optical photons-from-
+            # file): legacy per-batch path with conservative capacities
+            jobs = [self._dispatch_type_batch(instructions, idx, kind,
+                                              want_gen)
+                    for kind, idx in batch_list]
         self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
         t_f0 = time.perf_counter()
         for job in jobs:
