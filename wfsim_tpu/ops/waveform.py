@@ -114,8 +114,13 @@ def photons_to_waveform(times, channels, gains, valid,
     H = H.reshape(n_channels, dt, n_samples)
 
     # W[c, u] = sum_{r,k} H[c, r, u - k] * T[r, k] — causal conv along the
-    # sample axis with the dt phases as input features (NCW layout).
-    # XLA convs are cross-correlations, so flip the kernel and left-pad L-1.
+    # sample axis with the dt phases as input features.
+    if n_samples % 128 == 0:
+        # Banded-matmul form: XLA lowers the (O=1, I=10, W=22) conv to a
+        # VPU loop fusion (~220 MACs/sample, measured 26 ms per digitize
+        # call); expressing each 128-sample output block as
+        # (rows, 10*149) x (10*149, 128) runs on the MXU instead.
+        return _conv_templates_mxu(H, templates.astype(jnp.float32))
     kernel = jnp.flip(templates, axis=1).astype(jnp.float32)  # (dt, L)
     kernel = kernel[None, :, :]                               # (O=1, I=dt, L)
     W = jax.lax.conv_general_dilated(
@@ -124,8 +129,42 @@ def photons_to_waveform(times, channels, gains, valid,
         padding=((L - 1, 0),),
         dimension_numbers=('NCW', 'OIW', 'NCW'),
         preferred_element_type=jnp.float32,
-        # full f32: default TPU conv precision truncates operands to bf16,
-        # which costs ~0.4% per-sample error — visible after ADC rounding
+        # full f32: default TPU conv/dot precision truncates operands to
+        # bf16, which costs ~0.4% per-sample error — visible after ADC
+        # rounding
         precision=jax.lax.Precision.HIGHEST,
     )
     return W[:, 0, :]
+
+
+def _conv_templates_mxu(H, templates):
+    """Causal phase-bank convolution as a banded matmul.
+
+    ``W[c, u] = sum_{r,k} H[c, r, u-k] * T[r, k]`` over 128-sample output
+    blocks: each block gathers its (10, 128+L-1) input patch (L-1 samples of
+    history) and contracts the flattened (10*(128+L-1),) axis against a
+    banded template matrix ``B[(r, m), u] = T[r, u-m+L-1]`` — a
+    (rows*blocks, 1490) x (1490, 128) MXU matmul in full f32.
+    """
+    R, dt, T = H.shape
+    L = templates.shape[1]
+    S = 128
+    nseg = T // S
+    M = S + L - 1
+    Hp = jnp.pad(H, ((0, 0), (0, 0), (L - 1, 0)))
+    cols = (jnp.arange(nseg, dtype=jnp.int32)[:, None] * S
+            + jnp.arange(M, dtype=jnp.int32)[None, :])      # (nseg, M)
+    P = Hp[:, :, cols]                                      # (R, dt, nseg, M)
+    P = P.transpose(0, 2, 1, 3).reshape(R * nseg, dt * M)
+    u = jnp.arange(S, dtype=jnp.int32)[None, :]
+    m = jnp.arange(M, dtype=jnp.int32)[:, None]
+    k = u - m + (L - 1)                                     # (M, S)
+    band = jnp.where((k >= 0) & (k < L),
+                     templates[:, jnp.clip(k, 0, L - 1)],   # (dt, M, S)
+                     0.0)
+    W = jax.lax.dot_general(
+        P, band.reshape(dt * M, S),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    return W.reshape(R, T)

@@ -900,7 +900,9 @@ class RawDataTPU:
 
         # bucket windows by (T_cap, N_cap, P_cap); coarse buckets: each
         # distinct shape costs a compile, each call a dispatch round trip
-        t_floor = int(self.config.get('digitize_t_floor', 1024))
+        # 512 halves the grid for short (S2-span) windows; one extra shape
+        # bucket vs 1024 was worth it once the sub-split landed
+        t_floor = int(self.config.get('digitize_t_floor', 512))
         n_floor = int(self.config.get('digitize_n_floor', 8192))
         results = [None] * len(wins)
         buckets: ty.Dict[tuple, list] = {}
