@@ -989,7 +989,7 @@ class RawDataTPU:
                 # lives on device, so its slice uses a generous host-side
                 # bound (escapes are DPCM outliers, a few % of values); the
                 # rare overflow triggers one blocking refetch below.
-                ne_bound = min(nv // 8 + 256, nv)
+                ne_bound = min(nv // 24 + 128, nv)
                 tok = _start_sliced_copies([packed['rec_meta'][:n],
                                             packed['rec_masks'][:n],
                                             packed['rec_values'][:nv],
@@ -999,18 +999,26 @@ class RawDataTPU:
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             nbytes = 0
-            for n_rec, n_val, ne_bound, tok, packed in sizes:
-                meta, masks, vals, escs = _collect_sliced(tok)
-                nbytes += (meta.nbytes + masks.nbytes + vals.nbytes
-                           + escs.nbytes)
+
+            def _decode_call(n_rec, n_val, ne_bound, meta, masks, vals, escs,
+                             packed):
                 n_esc = int(np.count_nonzero(vals[:n_val] == -128))
                 if n_esc > ne_bound:
                     escs = _fetch_in_slices(
                         [packed['rec_escapes'][:n_esc]])[0]
-                    nbytes += escs.nbytes
                 meta = meta[:n_rec]
-                rdata = decode_records(meta, masks[:n_rec],
-                                       vals[:n_val], escs[:n_esc], baseline)
+                return meta, decode_records(meta, masks[:n_rec],
+                                            vals[:n_val], escs[:n_esc],
+                                            baseline)
+            # note: pushing decode to a worker thread was tried and measured
+            # SLOWER (GIL contention with the blocking device fetches);
+            # inline decode between collects wins on this stack
+            for n_rec, n_val, ne_bound, tok, packed in sizes:
+                meta, masks, vals, escs = _collect_sliced(tok)
+                nbytes += (meta.nbytes + masks.nbytes + vals.nbytes
+                           + escs.nbytes)
+                meta, rdata = _decode_call(n_rec, n_val, ne_bound, meta,
+                                           masks, vals, escs, packed)
                 payload_rows.append((n_rec, meta, rdata))
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
