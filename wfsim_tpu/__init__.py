@@ -10,6 +10,22 @@ __version__ = '0.1.0'
 
 import os as _os
 
+# Keep large allocations on the reusable glibc heap (M_MMAP_THRESHOLD /
+# M_TRIM_THRESHOLD).  By default glibc mmaps >128 kB allocations and
+# returns them to the OS on free, so every fresh chunk-sized record array
+# pays first-touch page faults again — measured at ~50 MB/s on
+# virtualized hosts (6+ s per 200 MB bench chunk, the dominant host cost).
+# With the heap retained, pages fault once per process. Opt out with
+# WFSIM_TPU_NO_MALLOPT=1.
+if not _os.environ.get('WFSIM_TPU_NO_MALLOPT'):
+    try:
+        import ctypes as _ctypes
+        _libc = _ctypes.CDLL('libc.so.6', use_errno=True)
+        _libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+    except Exception:  # pragma: no cover - non-glibc platforms
+        pass
+
 # Persistent XLA compilation cache: the pipeline compiles one program per
 # (photon-capacity, window-length) bucket; caching makes every process after
 # the first start warm.  Opt out with WFSIM_TPU_NO_COMPILE_CACHE=1.

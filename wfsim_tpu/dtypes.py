@@ -139,6 +139,31 @@ def raw_record_dtype(samples_per_record: int = DEFAULT_RECORD_LENGTH):
     ]
 
 
+def concat_records(parts) -> np.ndarray:
+    """Concatenate structured record arrays through a raw-byte view.
+
+    np.concatenate takes a pathological slow path for dtypes with subarray
+    fields like raw_record's (110,)-int16 data (measured 25 MB/s — 8 s for
+    a 205 MB bench chunk); byte-view block copies run at memcpy speed.
+    """
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        raise ValueError('concat_records needs at least one non-empty part '
+                         '(callers handle the empty case)')
+    if len(parts) == 1:
+        return parts[0]
+    dtype = parts[0].dtype
+    isz = dtype.itemsize
+    out = np.empty(sum(len(p) for p in parts), dtype)
+    ob = out.view(np.uint8)
+    o = 0
+    for p in parts:
+        n = len(p) * isz
+        ob[o:o + n] = np.ascontiguousarray(p).view(np.uint8).reshape(-1)
+        o += n
+    return out
+
+
 def sort_by_time(records: np.ndarray) -> np.ndarray:
     """Stable sort of structured records by (time, channel) like strax does.
     Single lexsort + single gather (structured-array copies are expensive)."""

@@ -106,13 +106,22 @@ class Simulator:
 
     def get_arrays(self, instructions: ty.Optional[np.ndarray] = None):
         """Run to completion and concatenate all chunks."""
+        from ..dtypes import concat_records
         outs: ty.Dict[str, list] = {}
         for chunk in self.run(instructions):
             for k, v in chunk.items():
                 if isinstance(v, np.ndarray):
                     outs.setdefault(k, []).append(v)
-        return {k: (v[0] if len(v) == 1 else np.concatenate(v))
-                for k, v in outs.items()}
+
+        def cat(v):
+            if len(v) == 1:
+                return v[0]
+            if any(len(x) for x in v):
+                # np.concatenate is pathologically slow for subarray-field
+                # structured dtypes (see dtypes.concat_records)
+                return concat_records(v)
+            return v[0]
+        return {k: cat(v) for k, v in outs.items()}
 
     def source_finished(self):
         return self.sim.source_finished()

@@ -9,6 +9,7 @@ and drain the truth buffer per chunk.
 from __future__ import annotations
 
 import logging
+import time as _time
 import typing as ty
 
 import numpy as np
@@ -16,7 +17,7 @@ import numpy as np
 from ..config import finalize_config
 from ..dtypes import (raw_record_dtype, instruction_dtype,
                       extra_truth_dtype_per_pmt, sort_by_time,
-                      DEFAULT_RECORD_LENGTH)
+                      concat_records, DEFAULT_RECORD_LENGTH)
 from .rawdata import RawDataTPU
 
 log = logging.getLogger('wfsim_tpu.interface')
@@ -28,8 +29,12 @@ class ChunkRawRecords:
     def __init__(self, config, rawdata_generator=RawDataTPU, **kwargs):
         self.config = finalize_config(dict(config))
         self.rawdata = rawdata_generator(self.config, **kwargs)
-        self.record_buffer = np.zeros(
-            5_000_000, dtype=raw_record_dtype(DEFAULT_RECORD_LENGTH))
+        # per-window record arrays accumulate by reference and concatenate
+        # once per chunk (the reference stages through a 5M-row buffer,
+        # strax_interface.py:360; copying ~250-byte structured rows through
+        # a reused buffer measured 1.6-4.8 s per bench chunk on this host)
+        self.record_chunks: list = []
+        self.record_buffer_rows = 5_000_000
         truth_per_n_pmts = (self._n_channels if self.config.get('per_pmt_truth')
                             else False)
         self.truth_dtype = extra_truth_dtype_per_pmt(truth_per_n_pmts)
@@ -48,7 +53,7 @@ class ChunkRawRecords:
             self.rawdata.source_finished = True
             return
         dt = self.config['sample_duration']
-        buffer_length = len(self.record_buffer)
+        buffer_length = self.record_buffer_rows
         rext = int(self.config['right_raw_extension'])
         cksz = int(self.config['chunk_size'] * 1e9)
 
@@ -99,9 +104,9 @@ class ChunkRawRecords:
                 log.warning('Window too large, skipping records')
                 continue
 
-            self.record_buffer[self.blevel:self.blevel + records_needed] = \
-                records
-            self.blevel += records_needed
+            if records_needed:
+                self.record_chunks.append(records)
+                self.blevel += records_needed
 
         self.last_digitized_right = self.current_digitized_right
         self.chunk_time = max((self.last_digitized_right + 1) * dt,
@@ -109,20 +114,36 @@ class ChunkRawRecords:
         yield from self.final_results()
 
     def final_results(self):
-        records = self.record_buffer[:self.blevel]
-        maska = records['time'] <= self.chunk_time
-        n_keep = int(maska.sum())
-        if n_keep < len(records):
-            records = records[maska]
+        t0 = _time.perf_counter()
+        try:
+            yield from self._final_results()
+        finally:
+            self.rawdata.diag.seconds['chunker_final'] += \
+                _time.perf_counter() - t0
+
+    def _final_results(self):
+        t0 = _time.perf_counter()
+        if self.record_chunks:
+            records = concat_records(self.record_chunks)
         else:
-            records = records.copy()   # detach from the reused buffer
-        # records arrive time-sorted from the device pack (disjoint windows x
-        # per-window (time, channel)-sorted emission) — structured-array
-        # sorts run at ~100 MB/s on host, so only sort when an edge case
-        # actually broke the order
+            records = np.zeros(0, raw_record_dtype(DEFAULT_RECORD_LENGTH))
+        # records arrive time-sorted (ascending windows x per-window
+        # (time, channel)-sorted emission) — only sort when an edge case
+        # actually broke the order; the chunk boundary is then a prefix
+        # split, so the chunk's records are a VIEW and only the (usually
+        # empty) leftover spills as a copy into the next chunk
         if len(records) > 1 and np.diff(records['time']).min() < 0:
             records = sort_by_time(records)
+        n_keep = int(np.searchsorted(records['time'], self.chunk_time,
+                                     side='right'))
+        leftover = records[n_keep:].copy()
+        records = records[:n_keep]
+        self.record_chunks = [leftover] if len(leftover) else []
+        self.blevel = len(leftover)
+        self.rawdata.diag.seconds['final_records'] += \
+            _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         maskb = (
             self.truth_buffer['fill']
             & ((self.truth_buffer['t_first_photon'] <= self.chunk_time)
@@ -138,6 +159,7 @@ class ChunkRawRecords:
         has_t = ~np.isnan(_truth['t_first_photon'])
         _truth['time'][has_t] = _truth['t_first_photon'][has_t].astype(int)
         _truth.sort(order='time')
+        self.rawdata.diag.seconds['final_truth'] += _time.perf_counter() - t0
 
         if self.config['detector'] in ('XENON1T', 'XENONnT_neutron_veto'):
             yield dict(raw_records=records, truth=_truth)
@@ -158,10 +180,6 @@ class ChunkRawRecords:
                                            & (records['channel'] <= he_hi)],
                     raw_records_aqmon=records[records['channel'] == 800],
                     truth=_truth)
-
-        self.record_buffer[:np.sum(~maska)] = \
-            self.record_buffer[:self.blevel][~maska]
-        self.blevel = int(np.sum(~maska))
 
     def source_finished(self):
         return self.rawdata.source_finished

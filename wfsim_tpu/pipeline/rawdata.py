@@ -807,6 +807,7 @@ class RawDataTPU:
 
         if not self._pulses:
             return
+        t_grp0 = time.perf_counter()
         margin_l = (self.const.samples_to_store_before
                     + self.const.samples_before_pulse_center
                     + self.const.trigger_window)
@@ -903,7 +904,10 @@ class RawDataTPU:
         # 512 halves the grid for short (S2-span) windows; one extra shape
         # bucket vs 1024 was worth it once the sub-split landed
         t_floor = int(self.config.get('digitize_t_floor', 512))
-        n_floor = int(self.config.get('digitize_n_floor', 8192))
+        # 2048 matches typical per-window photon counts; 8192 left the
+        # digitize photon axis ~5x padding (a few more shape buckets is
+        # cheaper than 4x wasted scatter/gather lanes)
+        n_floor = int(self.config.get('digitize_n_floor', 2048))
         results = [None] * len(wins)
         buckets: ty.Dict[tuple, list] = {}
         for i, w in enumerate(wins):
@@ -914,6 +918,7 @@ class RawDataTPU:
 
         spr = DEFAULT_RECORD_LENGTH
         max_itv = int(self.config.get('zle_max_intervals', 64))
+        self.diag.seconds['digitize_group'] += time.perf_counter() - t_grp0
 
         def dispatch(batch, T_cap, n_cap, p_cap):
             B = _bucket(len(batch), lo=max(1, self._ev_shards), hi=2 ** 30)
