@@ -154,6 +154,30 @@ def concat_records(parts) -> np.ndarray:
         return parts[0]
     dtype = parts[0].dtype
     isz = dtype.itemsize
+
+    # zero-copy fast path: consecutive views of one base array (the
+    # digitize host split fills one chunk-level array in stream order)
+    try:
+        from numpy.lib.array_utils import byte_bounds as _bb
+    except ImportError:  # numpy < 2
+        _bb = np.byte_bounds
+    base = parts[0].base
+    if base is not None and isinstance(base, np.ndarray) \
+            and base.dtype == dtype and base.ndim == 1 \
+            and all(p.base is base for p in parts):
+        lo0 = _bb(parts[0])[0]
+        prev_hi = _bb(parts[0])[1]
+        ok = True
+        for p in parts[1:]:
+            lo, hi = _bb(p)
+            if lo != prev_hi:
+                ok = False
+                break
+            prev_hi = hi
+        if ok:
+            start = (lo0 - _bb(base)[0]) // isz
+            n = sum(len(p) for p in parts)
+            return base[start:start + n]
     out = np.empty(sum(len(p) for p in parts), dtype)
     ob = out.view(np.uint8)
     o = 0

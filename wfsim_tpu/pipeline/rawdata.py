@@ -1032,18 +1032,28 @@ class RawDataTPU:
         # phase 2: split per window and time-sort during the copy (records
         # arrive in natural window/channel/interval order; applying the
         # permutation here rides the record-array build, so the on-device
-        # lexsort — measured ~2 s per bench chunk — is gone for free)
+        # lexsort — measured ~2 s per bench chunk — is gone for free).
+        # All windows fill slices of ONE chunk-level array in stream order,
+        # so the chunker's per-chunk concatenation collapses to a view
+        # (first-touch page faults on fresh chunk-sized arrays cost seconds
+        # on virtualized hosts — pay them once, here).
         t_split0 = time.perf_counter()
+        splits = []
+        win_counts = np.zeros(len(wins), np.int64)
         for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
-            m_w, m_c, m_start, m_len, m_plen, m_reci = \
-                unpack_encoded_meta(meta)
+            m = unpack_encoded_meta(meta)
             # split records by window (ascending by design)
-            bounds = np.searchsorted(m_w, np.arange(len(batch) + 1))
+            bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
+            win_counts[np.asarray(batch)] = np.diff(bounds)
+            splits.append((batch, m, rdata, bounds))
+        offsets = np.concatenate([[0], np.cumsum(win_counts)])
+        chunk_arr = np.zeros(int(offsets[-1]), dtype=raw_record_dtype(spr))
+        for batch, (m_w, m_c, m_start, m_len, m_plen, m_reci), rdata, \
+                bounds in splits:
             for bi, wi in enumerate(batch):
                 sl = slice(bounds[bi], bounds[bi + 1])
                 order = np.lexsort((m_c[sl], m_start[sl]))
-                recs = np.zeros(bounds[bi + 1] - bounds[bi],
-                                dtype=raw_record_dtype(spr))
+                recs = chunk_arr[offsets[wi]:offsets[wi + 1]]
                 recs['time'] = ((np.int64(wins[wi]['win_left'])
                                  + m_start[sl][order].astype(np.int64)) * dt)
                 recs['channel'] = m_c[sl][order]
