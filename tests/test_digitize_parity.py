@@ -119,7 +119,7 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
     steps exceed the int8 DPCM range, exercising the escape stream."""
     from wfsim_tpu.pipeline.digitize import (pack_records_encoded,
                                              decode_records,
-                                             unpack_encoded_meta)
+                                             expand_interval_meta)
     c = default_config()
     res = load_config(c)
     params = build_params(c, res)
@@ -152,10 +152,11 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
                                resA['itv_valid'], max_values=65536,
                                baseline=int(c['digitizer_reference_baseline']),
                                **kw)
+    n_itv = int(resA['n_intervals'])
     meta_d = np.asarray(dense['rec_meta'])[:n_rec]
-    meta_e = np.asarray(enc['rec_meta'])[:n_rec]
-    np.testing.assert_array_equal(
-        meta_d, np.stack(unpack_encoded_meta(meta_e), axis=1))
+    m = expand_interval_meta(np.asarray(enc['itv_meta'])[:n_itv])
+    assert len(m[0]) == n_rec
+    np.testing.assert_array_equal(meta_d, np.stack(m, axis=1))
     # n_values from gather_digitize is an upper bound on (and in the exact
     # regimes equal to) the encoder's actual count
     masks = np.asarray(enc['rec_masks'])[:n_rec]
@@ -165,7 +166,7 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
     n_esc = int(enc['n_escapes'])
     if gain_scale > 1:
         assert n_esc > 0   # the bright case must actually exercise escapes
-    decoded = decode_records(meta_e, masks,
+    decoded = decode_records(m[3], masks,
                              np.asarray(enc['rec_values'])[:n_val],
                              np.asarray(enc['rec_escapes'])[:max(n_esc, 1)],
                              int(c['digitizer_reference_baseline']))

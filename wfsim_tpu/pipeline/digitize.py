@@ -462,10 +462,12 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
         itv_valid = kk < counts[:, :, None]
         data = data.astype(jnp.int16)
 
-    # ---- record count (exact; lets the host size the pack kernel) ----
+    # ---- record/interval counts (exact; size the pack kernel + host
+    # slicing of the interval-table transport) ----
     plen = jnp.where(itv_valid, ends - starts + 1, 0)
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
     total_rec = nrec.sum().astype(jnp.int32)
+    total_itv = (nrec > 0).sum().astype(jnp.int32)
 
     # ---- count of record samples that differ from the predicted row
     # (baseline inside the pulse, zero in the tail pad) — sizes the encoded
@@ -502,7 +504,8 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
                               0).sum().astype(jnp.int32)
     return dict(data=data, left_all=left_all,
                 starts=starts, ends=ends, itv_valid=itv_valid,
-                n_records=total_rec, n_values=total_nnz)
+                n_records=total_rec, n_intervals=total_itv,
+                n_values=total_nnz)
 
 
 @partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
@@ -580,13 +583,14 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     baseline + ~17% tail pad; noisy/bright pulses are sample-to-sample smooth
     (noise deltas are a few ADC counts, S2 envelopes rise over ~50+ samples),
     so deltas almost always fit int8 and the value stream halves again vs
-    int16. Record metadata is packed to 4 int32 words
-    ([window*2048+channel, start, pulse_length, record_i]; `length` is
-    derived). The host reverses everything with `decode_records` /
-    `unpack_encoded_meta` (vectorized numpy). Exact by construction for any
-    input.
+    int16. Metadata is sent per ZLE INTERVAL, not per record — 3 int32
+    words [window*2048+channel, start, pulse_length] per interval; the host
+    re-derives every record's (start, length, record_i) with
+    `expand_interval_meta` (records of an interval are consecutive in the
+    natural emission order). Exact by construction for any input.
 
-    Returns dict(rec_meta (R,4) int32, rec_masks (R,14) uint8,
+    Returns dict(itv_meta (R,3) int32 — R bounds the interval count since
+    every live interval has >=1 record — rec_masks (R,14) uint8,
     rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
     """
     spr = SAMPLES_PER_RECORD
@@ -672,38 +676,54 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     esc_vals = jnp.zeros(max_values, jnp.int16).at[
         jnp.where(esc, epos, max_values)].set(values, mode='drop')
 
-    meta = jnp.stack([
-        jnp.where(rec_valid, w_of * 2048 + c_of, -1),
-        start_s, plen_f, record_i], axis=1).astype(jnp.int32)
-    return dict(rec_meta=meta, rec_masks=masks, rec_values=d8,
+    # ---- interval table: one row per non-empty interval, natural order ----
+    itv_live = (itv_valid & (plen > 0)).reshape(-1)
+    ipos = jnp.cumsum(itv_live.astype(jnp.int32)) - 1
+    i_flat = jnp.arange(itv_live.shape[0], dtype=jnp.int32)
+    w_i = i_flat // (C_all * K)
+    c_i = (i_flat // K) % C_all
+    itv_rows = jnp.stack([w_i * 2048 + c_i,
+                          left_rel.reshape(-1),
+                          plen.reshape(-1)], axis=1).astype(jnp.int32)
+    itv_meta = jnp.zeros((max_records, 3), jnp.int32).at[
+        jnp.where(itv_live, ipos, max_records)].set(itv_rows, mode='drop')
+
+    return dict(itv_meta=itv_meta, rec_masks=masks, rec_values=d8,
                 rec_escapes=esc_vals, n_escapes=n_escapes)
 
 
-def unpack_encoded_meta(meta):
-    """Host-side meta unpack for `pack_records_encoded` output: returns
-    (window, channel, start_sample, length, pulse_length, record_i), each
-    (n,) int32/int64 numpy."""
+def expand_interval_meta(itv_meta):
+    """Host-side record derivation from the per-interval transport table:
+    returns (window, channel, start_sample, length, pulse_length, record_i),
+    each (n_records,) numpy — records of an interval are consecutive in the
+    natural emission order, so the expansion is a repeat + ramp."""
     spr = SAMPLES_PER_RECORD
-    w_of = meta[:, 0] >> 11
-    c_of = meta[:, 0] & 2047
-    start_s = meta[:, 1]
-    plen = meta[:, 2]
-    record_i = meta[:, 3]
-    length = np.clip(plen - record_i * spr, 0, spr).astype(meta.dtype)
-    return w_of, c_of, start_s, length, plen, record_i
+    wc = itv_meta[:, 0].astype(np.int64)
+    start = itv_meta[:, 1].astype(np.int64)
+    plen = itv_meta[:, 2].astype(np.int64)
+    nrec = (plen + spr - 1) // spr
+    rec_itv = np.repeat(np.arange(len(itv_meta)), nrec)
+    k = np.arange(len(rec_itv)) - np.repeat(np.cumsum(nrec) - nrec, nrec)
+    w_of = wc[rec_itv] >> 11
+    c_of = wc[rec_itv] & 2047
+    start_s = start[rec_itv] + k * spr
+    m_plen = plen[rec_itv]
+    length = np.clip(m_plen - k * spr, 0, spr)
+    return w_of, c_of, start_s, length, m_plen, k
 
 
-def decode_records(meta, masks, d8, esc_vals, baseline):
+def decode_records(lengths, masks, d8, esc_vals, baseline):
     """Host-side inverse of `pack_records_encoded` (numpy, vectorized):
-    rebuild the (n, 110) int16 record payload from packed meta, difference
-    bitmasks, the int8 DPCM delta stream and the int16 escape values.
+    rebuild the (n, 110) int16 record payload from per-record lengths,
+    difference bitmasks, the int8 DPCM delta stream and the int16 escape
+    values.
 
     `d8` may carry zero padding beyond the actual count (the device-side
     size is an upper bound); it is sliced to the mask popcount. `esc_vals`
     must be sliced exactly (its count comes from the pack's n_escapes)."""
-    n = len(meta)
+    n = len(lengths)
     spr = SAMPLES_PER_RECORD
-    _, _, _, length, _, _ = unpack_encoded_meta(meta)
+    length = np.asarray(lengths)
     out = np.where(np.arange(spr, dtype=np.int32)[None, :] < length[:, None],
                    np.int16(baseline), np.int16(0))
     if not n:

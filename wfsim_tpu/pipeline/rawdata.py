@@ -803,7 +803,7 @@ class RawDataTPU:
         record packing, and yield per-window record arrays in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
         from .digitize import (gather_digitize, pack_records_encoded,
-                               decode_records, unpack_encoded_meta)
+                               decode_records, expand_interval_meta)
 
         if not self._pulses:
             return
@@ -965,7 +965,8 @@ class RawDataTPU:
         if calls:
             t0 = time.perf_counter()
             counts_h = np.asarray(jnp.stack(
-                [jnp.stack([res['n_records'], res['n_values']])
+                [jnp.stack([res['n_records'], res['n_values'],
+                            res['n_intervals']])
                  for *_, res in calls]))
             self.diag.seconds['digitize_counts_fetch'] += \
                 time.perf_counter() - t0
@@ -975,6 +976,7 @@ class RawDataTPU:
             for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
                 n_rec = int(counts_h[ci, 0])
                 n_val = int(counts_h[ci, 1])
+                n_itv = int(counts_h[ci, 2])
                 max_records = _bucket(max(n_rec, 1), lo=1024)
                 max_values = _bucket(max(n_val, 1), lo=4096)
                 packed = pack_records_encoded(
@@ -995,36 +997,38 @@ class RawDataTPU:
                 # bound (escapes are DPCM outliers, a few % of values); the
                 # rare overflow triggers one blocking refetch below.
                 ne_bound = min(nv // 24 + 128, nv)
-                tok = _start_sliced_copies([packed['rec_meta'][:n],
-                                            packed['rec_masks'][:n],
-                                            packed['rec_values'][:nv],
-                                            packed['rec_escapes'][:ne_bound]])
-                sizes.append((n_rec, n_val, ne_bound, tok, packed))
+                tok = _start_sliced_copies([
+                    packed['itv_meta'][:max(n_itv, 1)],
+                    packed['rec_masks'][:n],
+                    packed['rec_values'][:nv],
+                    packed['rec_escapes'][:ne_bound]])
+                sizes.append((n_rec, n_val, n_itv, ne_bound, tok, packed))
             self.diag.seconds['digitize_pack_dispatch'] += \
                 time.perf_counter() - t0
             t0 = time.perf_counter()
             nbytes = 0
 
-            def _decode_call(n_rec, n_val, ne_bound, meta, masks, vals, escs,
-                             packed):
+            def _decode_call(n_rec, n_val, n_itv, ne_bound, itv, masks, vals,
+                             escs, packed):
                 n_esc = int(np.count_nonzero(vals[:n_val] == -128))
                 if n_esc > ne_bound:
                     escs = _fetch_in_slices(
                         [packed['rec_escapes'][:n_esc]])[0]
-                meta = meta[:n_rec]
-                return meta, decode_records(meta, masks[:n_rec],
-                                            vals[:n_val], escs[:n_esc],
-                                            baseline)
+                m = expand_interval_meta(itv[:n_itv])
+                assert len(m[0]) == n_rec, (len(m[0]), n_rec)
+                return m, decode_records(m[3], masks[:n_rec],
+                                         vals[:n_val], escs[:n_esc],
+                                         baseline)
             # note: pushing decode to a worker thread was tried and measured
             # SLOWER (GIL contention with the blocking device fetches);
             # inline decode between collects wins on this stack
-            for n_rec, n_val, ne_bound, tok, packed in sizes:
-                meta, masks, vals, escs = _collect_sliced(tok)
-                nbytes += (meta.nbytes + masks.nbytes + vals.nbytes
+            for n_rec, n_val, n_itv, ne_bound, tok, packed in sizes:
+                itv, masks, vals, escs = _collect_sliced(tok)
+                nbytes += (itv.nbytes + masks.nbytes + vals.nbytes
                            + escs.nbytes)
-                meta, rdata = _decode_call(n_rec, n_val, ne_bound, meta,
-                                           masks, vals, escs, packed)
-                payload_rows.append((n_rec, meta, rdata))
+                m, rdata = _decode_call(n_rec, n_val, n_itv, ne_bound, itv,
+                                        masks, vals, escs, packed)
+                payload_rows.append((n_rec, m, rdata))
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
             self.diag.add('payload_bytes', nbytes)
@@ -1040,8 +1044,7 @@ class RawDataTPU:
         t_split0 = time.perf_counter()
         splits = []
         win_counts = np.zeros(len(wins), np.int64)
-        for (batch, *_), (n_rec, meta, rdata) in zip(calls, payload_rows):
-            m = unpack_encoded_meta(meta)
+        for (batch, *_), (n_rec, m, rdata) in zip(calls, payload_rows):
             # split records by window (ascending by design)
             bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
             win_counts[np.asarray(batch)] = np.diff(bounds)
