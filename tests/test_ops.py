@@ -164,3 +164,38 @@ def test_zle_block_extraction_path(seed):
         got = list(zip(np.asarray(starts[c][:n]).tolist(),
                        np.asarray(ends[c][:n]).tolist()))
         assert got == ref
+
+
+def test_concat_records_paths():
+    """dtypes.concat_records: byte-view copy path, zero-copy same-base view
+    path, and equivalence with np.concatenate."""
+    from wfsim_tpu.dtypes import raw_record_dtype, concat_records
+    dt = np.dtype(raw_record_dtype(110))
+    rng = np.random.default_rng(0)
+
+    parts = []
+    for i in range(5):
+        a = np.zeros(rng.integers(1, 50), dt)
+        a['time'] = rng.integers(0, 1000, len(a))
+        a['data'] = rng.integers(0, 100, (len(a), 110)).astype(np.int16)
+        parts.append(a)
+    out = concat_records(parts)
+    ref = np.concatenate(parts)
+    assert out.dtype == ref.dtype
+    np.testing.assert_array_equal(out['time'], ref['time'])
+    np.testing.assert_array_equal(out['data'], ref['data'])
+
+    # zero-copy: consecutive views of one base come back as a base slice
+    base = np.zeros(100, dt)
+    base['time'] = np.arange(100)
+    views = [base[0:30], base[30:31], base[31:100]]
+    out2 = concat_records(views)
+    assert out2.base is base
+    np.testing.assert_array_equal(out2['time'], base['time'])
+    # non-consecutive views fall back to a real copy
+    out3 = concat_records([base[0:30], base[40:100]])
+    assert len(out3) == 90
+    np.testing.assert_array_equal(
+        out3['time'], np.r_[np.arange(30), np.arange(40, 100)])
+    # single part passes through
+    assert concat_records([base]) is base
