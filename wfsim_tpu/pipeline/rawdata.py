@@ -49,7 +49,11 @@ log = logging.getLogger('wfsim_tpu.core')
 __all__ = ['RawDataTPU']
 
 
-def _bucket(n, lo=256, hi=2 ** 22):
+def _bucket(n, lo=256, hi=2 ** 26):
+    # hi is a sanity guard, not a size hint: callers that can legitimately
+    # exceed it must pass a larger cap (silent clamping truncates device
+    # buffers — the 2^22 default once dropped value-stream data on
+    # high-volume chunks)
     b = lo
     while b < n and b < hi:
         b *= 2
@@ -977,8 +981,13 @@ class RawDataTPU:
                 n_rec = int(counts_h[ci, 0])
                 n_val = int(counts_h[ci, 1])
                 n_itv = int(counts_h[ci, 2])
-                max_records = _bucket(max(n_rec, 1), lo=1024)
-                max_values = _bucket(max(n_val, 1), lo=4096)
+                # hi well above any real chunk: _bucket's default 2^22 cap
+                # silently truncated the value stream on noise/high-rate
+                # workloads (>4.2M masked samples per call)
+                max_records = _bucket(max(n_rec, 1), lo=1024, hi=2 ** 28)
+                max_values = _bucket(max(n_val, 1), lo=4096, hi=2 ** 28)
+                assert max_records >= n_rec and max_values >= n_val, \
+                    (n_rec, n_val)   # truncation here silently loses records
                 packed = pack_records_encoded(
                     res['data'], res['left_all'], res['starts'],
                     res['ends'], res['itv_valid'],
