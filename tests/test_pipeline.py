@@ -386,10 +386,11 @@ def test_window_subsplit_preserves_signal_content():
 
 
 def test_s1_capacity_overflow_retry():
-    """S1 photon buffers are sized by expected yield; an undersized first
-    attempt must be detected via req_counts and re-run at larger capacity
-    (same key, so the per-instruction detected-photon counts are
-    unchanged)."""
+    """An undersized first sim dispatch must be detected via req_counts and
+    re-run at larger capacity (same key, so the per-instruction
+    detected-photon counts are unchanged).  The production demand pre-pass
+    sizes exactly, so the retry is forced by faking tiny demands."""
+    import jax.numpy as jnp
     from wfsim_tpu.config import default_config
     from wfsim_tpu.dtypes import instruction_dtype
     from wfsim_tpu.interface.simulator import Simulator
@@ -407,7 +408,7 @@ def test_s1_capacity_overflow_retry():
     ref = Simulator(c).get_arrays(inst.copy())
 
     sim = Simulator(c)
-    sim.sim.rawdata._s1_ly_bound = 1e-5   # force a hopeless first attempt
+    sim.sim.rawdata._dispatch_demand = lambda prep: jnp.int32(1)
     out = sim.get_arrays(inst.copy())
     np.testing.assert_array_equal(out['truth']['n_photon'],
                                   ref['truth']['n_photon'])
