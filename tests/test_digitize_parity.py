@@ -172,3 +172,39 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
                              int(c['digitizer_reference_baseline']))
     np.testing.assert_array_equal(decoded,
                                   np.asarray(dense['rec_data'])[:n_rec])
+
+
+def test_noise_slice_path_matches_pointwise():
+    """The contiguous-slice noise overlay (extended bank) must reproduce the
+    modular pointwise gather bit-for-bit — same ZLE records either way."""
+    import dataclasses
+    from wfsim_tpu.config import default_config
+
+    c = default_config(enable_noise=True)
+    res = load_config(c)
+    params = build_params(c, res)
+    const = build_constants(c)
+    assert params.noise_ext is not None
+
+    rng = np.random.default_rng(2)
+    T = 1024
+    n = 500
+    t = rng.integers(1500, T * 10 - 3000, n).astype(np.int32)
+    ch = rng.integers(0, 64, n).astype(np.int32)
+    gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+    pieces = np.zeros((2, 4, 3), np.int32)
+    pieces[0, 0] = (0, n // 2, 0)
+    pieces[1, 0] = (n // 2, n - n // 2, 0)
+
+    def run(p):
+        return gather_digitize(p, const, jnp.asarray(t), jnp.asarray(ch),
+                               jnp.asarray(gain), jnp.asarray(pieces),
+                               jax.random.key(3), n_samples=T, n_pieces=4,
+                               n_cap=512, max_intervals=16)
+
+    a = run(params)
+    b = run(dataclasses.replace(params, noise_ext=None))
+    np.testing.assert_array_equal(np.asarray(a['data']), np.asarray(b['data']))
+    for k in ('starts', 'ends', 'itv_valid', 'n_records', 'n_values'):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)

@@ -87,6 +87,12 @@ class SimParams:
     ele_ap_cdf: ty.Optional[jnp.ndarray]          # (B,)
     # Noise
     noise_data: ty.Optional[jnp.ndarray]       # (L, Cn) i32
+    # Channel-major noise bank extended by NOISE_PAD columns of wraparound
+    # on both sides: noise_ext[c, NOISE_PAD + x] == noise_data[x % L, c] for
+    # x in [-NOISE_PAD, L + NOISE_PAD). Lets the digitize overlay fetch each
+    # channel's window as ONE contiguous slice instead of a pointwise
+    # modular gather (measured 345 ms -> slice-speed per call).
+    noise_ext: ty.Optional[jnp.ndarray]        # (Cn, L + 2*NOISE_PAD) i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -427,8 +433,15 @@ def build_params(config, resource: Resource) -> SimParams:
         config['_drift_velocity_scaling'] = float(resource.drift_velocity_scaling)
 
     noise = None
+    noise_ext = None
     if getattr(resource, 'noise_data', None) is not None:
-        noise = jnp.asarray(np.asarray(resource.noise_data, dtype=np.int32))
+        noise_np = np.asarray(resource.noise_data, dtype=np.int32)
+        noise = jnp.asarray(noise_np)
+        from ..pipeline.digitize import NOISE_PAD
+        if noise_np.shape[0] >= NOISE_PAD:
+            nt = noise_np.T
+            noise_ext = jnp.asarray(np.concatenate(
+                [nt[:, -NOISE_PAD:], nt, nt[:, :NOISE_PAD]], axis=1))
 
     nest_table = nest_fields = nest_energies = None
     if 'nest' in str(config.get('s1_model_type', '')):
@@ -482,4 +495,5 @@ def build_params(config, resource: Resource) -> SimParams:
         ele_ap_bin_centers=ele_bins,
         ele_ap_cdf=ele_cdf,
         noise_data=noise,
+        noise_ext=noise_ext,
     )

@@ -25,7 +25,13 @@ from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
 __all__ = ['digitize_window', 'gather_digitize', 'pack_records',
-           'pack_records_encoded', 'decode_records', 'SAMPLES_PER_RECORD']
+           'pack_records_encoded', 'decode_records', 'SAMPLES_PER_RECORD',
+           'NOISE_PAD']
+
+#: Wraparound margin (samples) of the channel-major extended noise bank
+#: (params.noise_ext); digitize windows up to this length take the
+#: contiguous-slice noise path. Banks shorter than this skip the extension.
+NOISE_PAD = 16384
 
 SAMPLES_PER_RECORD = 110
 
@@ -426,10 +432,28 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
             high = jnp.maximum(L - (rg - lg) - 1, 1)
             u = jax.random.uniform(key, (B,))
             noise_ix = (u * high.astype(jnp.float32)).astype(jnp.int32)
-            col = (noise_ix[:, None, None] + idxT[None, None, :]
-                   - left_all[:, :nch, None]) % L
-            noise = params.noise_data[:, :nch].T[
-                jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
+            if params.noise_ext is not None and T <= NOISE_PAD:
+                # each (window, channel)'s noise segment is ONE contiguous
+                # slice of the wrap-extended channel-major bank: value at
+                # (b,c,t) is bank[(noise_ix+t-left) % L, c], identical by
+                # construction of noise_ext; the pointwise modular gather
+                # below measured 345 ms/call at bench-suite shapes
+                start = (NOISE_PAD + noise_ix[:, None]
+                         - left_all[:, :nch]).astype(jnp.int32)
+                start = jnp.clip(start, 0, params.noise_ext.shape[1] - T)
+                c_io = jax.lax.broadcasted_iota(jnp.int32, (B, nch), 1)
+
+                def _slice(c, s):
+                    return jax.lax.dynamic_slice(
+                        params.noise_ext, (c, s), (1, T))[0]
+                noise = jax.vmap(_slice)(c_io.reshape(-1),
+                                         start.reshape(-1))
+                noise = noise.reshape(B, nch, T)
+            else:
+                col = (noise_ix[:, None, None] + idxT[None, None, :]
+                       - left_all[:, :nch, None]) % L
+                noise = params.noise_data[:, :nch].T[
+                    jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
             data = data.at[:, :nch].add(jnp.where(in_win[:, :nch], noise, 0))
 
         # ---- baseline + saturation ----
