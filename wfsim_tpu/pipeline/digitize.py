@@ -757,19 +757,27 @@ def decode_records(lengths, masks, d8, esc_vals, baseline):
     if not V:
         return out
     d = d8[:V].astype(np.int32)
-    esc = d == -128
     nnz = mb.sum(axis=1)
-    row_start = np.cumsum(nnz) - nnz
-    first = np.zeros(V, bool)
-    first[row_start[nnz > 0]] = True
-    reset = first | esc
-    vals_at_reset = np.zeros(V, np.int32)
-    vals_at_reset[esc] = esc_vals[:int(esc.sum())]
-    fne = first & ~esc
-    vals_at_reset[fne] = baseline + d[fne]
-    s = np.cumsum(np.where(reset, 0, d))
-    k = np.arange(V)
-    last_reset = np.maximum.accumulate(np.where(reset, k, -1))
-    v = vals_at_reset[last_reset] + s - s[last_reset]
+    rows = np.flatnonzero(nnz)
+    row_start = (np.cumsum(nnz) - nnz)[rows]
+    row_end = row_start + nnz[rows]
+    esc_pos = np.flatnonzero(d == -128)
+
+    # fast vector path: per-row DPCM chains seeded at baseline are a global
+    # cumsum minus its value at each row start (escapes — DPCM outliers, a
+    # few per chunk — are patched by a tiny sequential pass; the general
+    # reset-aware formulation costs ~8 passes over V vs 3 here)
+    d[esc_pos] = 0
+    g = np.cumsum(d)
+    base_at_start = g[row_start] - d[row_start]
+    v = (baseline + g) - np.repeat(base_at_start, nnz[rows])
+
+    if len(esc_pos):
+        assert len(esc_vals) >= len(esc_pos), (len(esc_vals), len(esc_pos))
+        # each escape rebases its row's chain from that position to the next
+        # escape in the same row (processed in order) or the row end
+        e_row = np.searchsorted(row_start, esc_pos, side='right') - 1
+        for e, r, val in zip(esc_pos, e_row, esc_vals[:len(esc_pos)]):
+            v[e:row_end[r]] += int(val) - v[e]
     out[mb] = v.astype(np.int16)
     return out
