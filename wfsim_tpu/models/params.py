@@ -435,13 +435,28 @@ def build_params(config, resource: Resource) -> SimParams:
     noise = None
     noise_ext = None
     if getattr(resource, 'noise_data', None) is not None:
-        noise_np = np.asarray(resource.noise_data, dtype=np.int32)
-        noise = jnp.asarray(noise_np)
-        from ..pipeline.digitize import NOISE_PAD
-        if noise_np.shape[0] >= NOISE_PAD:
-            nt = noise_np.T
-            noise_ext = jnp.asarray(np.concatenate(
-                [nt[:, -NOISE_PAD:], nt, nt[:, :NOISE_PAD]], axis=1))
+        # the noise bank is the largest device asset (~200 MB + the
+        # wrap-extended copy); cache the device arrays on the resource —
+        # resources are shared across Simulator constructions via the
+        # config-hash cache, so the upload happens once per process, not
+        # once per Simulator (measured 12-24 s per build over the relay)
+        cached = getattr(resource, '_noise_device_cache', None)
+        if cached is not None:
+            noise, noise_ext = cached
+        else:
+            noise_np = np.asarray(resource.noise_data, dtype=np.int32)
+            noise = jnp.asarray(noise_np)
+            from ..pipeline.digitize import NOISE_PAD
+            if noise_np.shape[0] >= NOISE_PAD:
+                # int16 halves the extended bank (ADC noise counts fit
+                # comfortably); the overlay add upcasts to the grid dtype
+                nt = noise_np.T.astype(np.int16)
+                noise_ext = jnp.asarray(np.concatenate(
+                    [nt[:, -NOISE_PAD:], nt, nt[:, :NOISE_PAD]], axis=1))
+            try:
+                resource._noise_device_cache = (noise, noise_ext)
+            except Exception:
+                pass
 
     nest_table = nest_fields = nest_energies = None
     if 'nest' in str(config.get('s1_model_type', '')):

@@ -448,7 +448,7 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
                         params.noise_ext, (c, s), (1, T))[0]
                 noise = jax.vmap(_slice)(c_io.reshape(-1),
                                          start.reshape(-1))
-                noise = noise.reshape(B, nch, T)
+                noise = noise.reshape(B, nch, T).astype(jnp.int32)
             else:
                 col = (noise_ix[:, None, None] + idxT[None, None, :]
                        - left_all[:, :nch, None]) % L
