@@ -35,7 +35,7 @@ n_cap = 1 << int(np.ceil(np.log2(npp + 1)))
 
 def run():
     res = gather_digitize(params, const, arena_t, arena_ch, arena_g,
-                          jnp.asarray(pieces), key,
+                          jnp.asarray(pieces), jnp.zeros(B, jnp.int32),
                           n_samples=T, n_pieces=4, n_cap=n_cap,
                           max_intervals=64)
     n_rec = int(res['n_records'])
@@ -47,7 +47,7 @@ def run():
         res['itv_valid'], n_channels_total=int(res['data'].shape[1]),
         n_samples=T, max_intervals=64, max_records=mr, max_values=mv,
         baseline=int(config['digitizer_reference_baseline']))
-    np.asarray(packed['rec_meta'][:1])
+    np.asarray(packed['itv_meta'][:1])
     return res, packed
 
 

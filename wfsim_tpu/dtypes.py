@@ -166,11 +166,15 @@ def concat_records(parts) -> np.ndarray:
             and base.dtype == dtype and base.ndim == 1 \
             and all(p.base is base for p in parts):
         lo0 = _bb(parts[0])[0]
-        prev_hi = _bb(parts[0])[1]
+        prev_hi = lo0
         ok = True
-        for p in parts[1:]:
+        for p in parts:
             lo, hi = _bb(p)
-            if lo != prev_hi:
+            # byte-bounds adjacency alone would accept strided views (e.g.
+            # base[0:10:2] then base[9:]); require each part to be a dense
+            # contiguous run so the returned base slice is value-identical
+            if lo != prev_hi or not p.flags['C_CONTIGUOUS'] \
+                    or hi - lo != len(p) * isz:
                 ok = False
                 break
             prev_hi = hi
