@@ -17,8 +17,10 @@ from wfsim_tpu.pipeline.digitize import (gather_digitize, pack_records,
 from .reference_semantics import intervals_below_threshold, scatter_spe
 
 
-def numpy_digitize(c, templates, t, ch, gain, T, n_channels):
-    """Reference-semantics oracle: wfsim/core/rawdata.py:204-311."""
+def numpy_digitize(c, templates, t, ch, gain, T, n_channels, noise=None):
+    """Reference-semantics oracle: wfsim/core/rawdata.py:204-311 (with the
+    optional noise overlay of rawdata.py:398-437: bank rows aligned to each
+    channel's window start, wrap-around)."""
     W = scatter_spe(t, ch, gain, 0, n_channels, T, templates)
     adc = -np.around(W * c['current_2_adc']).astype(np.int64)
     # channel windows
@@ -30,6 +32,12 @@ def numpy_digitize(c, templates, t, ch, gain, T, n_channels):
         cl = max(pl - c['trigger_window'], 0)
         cr = min(pr + c['trigger_window'], T - 1)
         data = adc[cch].copy()
+        if noise is not None:
+            bank, nix = noise
+            L = bank.shape[0]
+            if cch < bank.shape[1]:
+                data[cl:cr + 1] += bank[(nix + np.arange(cr + 1 - cl)) % L,
+                                        cch]
         data[cl:cr + 1] += c['digitizer_reference_baseline']
         np.clip(data[cl:cr + 1], 0, None, out=data[cl:cr + 1])
         seg = data[cl:cr + 1]
@@ -78,7 +86,7 @@ def test_digitize_bitwise_parity(seed):
     pieces = np.zeros((1, 4, 3), np.int32)
     pieces[0, 0] = (0, n, 0)
     resA = gather_digitize(params, const, arena_t, arena_ch, arena_g,
-                           jnp.asarray(pieces), jax.random.key(0),
+                           jnp.asarray(pieces), jnp.zeros(1, jnp.int32),
                            n_samples=T, n_pieces=4, n_cap=512 if n <= 512 else 1024,
                            max_intervals=16)
     n_rec = int(resA['n_records'])
@@ -137,7 +145,7 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
     resA = gather_digitize(params, const,
                            jnp.asarray(t.astype(np.int32)), jnp.asarray(ch),
                            jnp.asarray(gain), jnp.asarray(pieces),
-                           jax.random.key(0),
+                           jnp.zeros(1, jnp.int32),
                            n_samples=T, n_pieces=4, n_cap=512,
                            max_intervals=16)
     n_rec = int(resA['n_records'])
@@ -156,7 +164,7 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
     meta_d = np.asarray(dense['rec_meta'])[:n_rec]
     m = expand_interval_meta(np.asarray(enc['itv_meta'])[:n_itv])
     assert len(m[0]) == n_rec
-    np.testing.assert_array_equal(meta_d, np.stack(m, axis=1))
+    np.testing.assert_array_equal(meta_d, np.stack(m[:6], axis=1))
     # n_values from gather_digitize is an upper bound on (and in the exact
     # regimes equal to) the encoder's actual count
     masks = np.asarray(enc['rec_masks'])[:n_rec]
@@ -196,10 +204,12 @@ def test_noise_slice_path_matches_pointwise():
     pieces[0, 0] = (0, n // 2, 0)
     pieces[1, 0] = (n // 2, n - n // 2, 0)
 
+    nix = jnp.asarray([123, 4567], jnp.int32)
+
     def run(p):
         return gather_digitize(p, const, jnp.asarray(t), jnp.asarray(ch),
                                jnp.asarray(gain), jnp.asarray(pieces),
-                               jax.random.key(3), n_samples=T, n_pieces=4,
+                               nix, n_samples=T, n_pieces=4,
                                n_cap=512, max_intervals=16)
 
     a = run(params)
@@ -208,3 +218,78 @@ def test_noise_slice_path_matches_pointwise():
     for k in ('starts', 'ends', 'itv_valid', 'n_records', 'n_values'):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_noise_residual_transport_bitwise():
+    """With noise on, the device ships a SIGNAL-RESIDUAL payload (noise
+    stripped after ZLE/saturation); decode_records + add_noise_host must
+    reproduce the full noisy records bit-for-bit against a pointwise numpy
+    oracle of the reference semantics (rawdata.py:398-458)."""
+    from wfsim_tpu.pipeline.digitize import (pack_records_encoded,
+                                             decode_records,
+                                             expand_interval_meta,
+                                             add_noise_host)
+    c = default_config(enable_noise=True)
+    res = load_config(c)
+    params = build_params(c, res)
+    const = build_constants(c)
+    templates = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
+    bank = np.asarray(res.noise_data)
+    L = bank.shape[0]
+
+    rng = np.random.default_rng(5)
+    T = 1024
+    n = 400
+    t = rng.integers(1500, T * 10 - 3000, n).astype(np.int64)
+    ch = rng.integers(0, 32, n).astype(np.int32)
+    gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+    nix = np.array([L // 3], np.int32)
+
+    pieces = np.zeros((1, 4, 3), np.int32)
+    pieces[0, 0] = (0, n, 0)
+    resA = gather_digitize(params, const,
+                           jnp.asarray(t.astype(np.int32)), jnp.asarray(ch),
+                           jnp.asarray(gain), jnp.asarray(pieces),
+                           jnp.asarray(nix),
+                           n_samples=T, n_pieces=4, n_cap=512,
+                           max_intervals=16)
+    # the slim (TPC-rows-only) grid must engage: bank covers only TPC rows
+    assert resA['data'].shape[1] == const.n_tpc_pmts
+    n_rec = int(resA['n_records'])
+    n_val = int(resA['n_values'])
+    n_itv = int(resA['n_intervals'])
+    enc = pack_records_encoded(resA['data'], resA['left_all'],
+                               resA['starts'], resA['ends'],
+                               resA['itv_valid'],
+                               n_channels_total=int(resA['data'].shape[1]),
+                               n_samples=T, max_intervals=16,
+                               max_records=4096, max_values=1 << 17,
+                               baseline=int(c['digitizer_reference_baseline']))
+    m = expand_interval_meta(np.asarray(enc['itv_meta'])[:n_itv])
+    assert len(m[0]) == n_rec
+    n_esc = int(enc['n_escapes'])
+    decoded = decode_records(m[3], np.asarray(enc['rec_masks'])[:n_rec],
+                             np.asarray(enc['rec_values'])[:n_val],
+                             np.asarray(enc['rec_escapes'])[:max(n_esc, 1)],
+                             int(c['digitizer_reference_baseline']))
+    add_noise_host(decoded, m[1], m[2], m[3], m[6], nix[m[0]], bank)
+
+    # oracle: full noisy digitize, pointwise numpy
+    oracle = numpy_digitize(c, templates, t, ch, gain, T, const.n_tpc_pmts,
+                            noise=(bank, int(nix[0])))
+    ours = {}
+    for i in range(n_rec):
+        ours.setdefault(int(m[1][i]), []).append(
+            (int(m[2][i]), int(m[3][i]), int(m[4][i]), int(m[5][i]),
+             decoded[i]))
+    oracle = {k: v for k, v in oracle.items() if v}
+    assert set(ours) == set(oracle)
+    n_checked = 0
+    for cch in oracle:
+        assert len(ours[cch]) == len(oracle[cch]), f'channel {cch}'
+        for got, ref in zip(ours[cch], oracle[cch]):
+            assert got[:4] == ref[:4], (cch, got[:4], ref[:4])
+            np.testing.assert_array_equal(got[4], ref[4].astype(np.int16),
+                                          err_msg=f'channel {cch} payload')
+            n_checked += 1
+    assert n_checked > 10

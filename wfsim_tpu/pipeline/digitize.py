@@ -52,6 +52,31 @@ def _channel_extents(t, ch, valid, n_channels, dt, before, after, store_b, store
     return pl, pr, has
 
 
+def _noise_gather(params, noise_ix, left, T):
+    """Noise-bank rows aligned to each channel's window start, wrap-around:
+    value (b, c, t) = bank[(noise_ix[b] + t - left[b, c]) % L, c]
+    (reference: rawdata.py:407-431).  Uses one contiguous dynamic slice per
+    (window, channel) from the wrap-extended channel-major bank when
+    available — the pointwise modular gather measured 345 ms/call at
+    bench-suite shapes."""
+    B, nch = left.shape
+    L = params.noise_data.shape[0]
+    if params.noise_ext is not None and T <= NOISE_PAD:
+        start = (NOISE_PAD + noise_ix[:, None] - left).astype(jnp.int32)
+        start = jnp.clip(start, 0, params.noise_ext.shape[1] - T)
+        c_io = jax.lax.broadcasted_iota(jnp.int32, (B, nch), 1)
+
+        def _slice(c, s):
+            return jax.lax.dynamic_slice(params.noise_ext, (c, s), (1, T))[0]
+        noise = jax.vmap(_slice)(c_io.reshape(-1), start.reshape(-1))
+        return noise.reshape(B, nch, T).astype(jnp.int32)
+    idxT = jnp.arange(T, dtype=jnp.int32)
+    col = (noise_ix[:, None, None] + idxT[None, None, :]
+           - left[:, :, None]) % L
+    return params.noise_data[:, :nch].T[
+        jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
+
+
 @partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals'))
 def digitize_window(params, const, t, ch, gain, valid, key, noise_ix,
                     *, n_samples: int, max_intervals: int = 128):
@@ -138,90 +163,10 @@ def digitize_window(params, const, t, ch, gain, valid, key, noise_ix,
                 zle_starts=starts, zle_ends=ends, zle_counts=counts)
 
 
-def _digitize_one(params, const, t, ch, gain, valid, key,
-                  n_samples: int, max_intervals: int):
-    """Single-window digitize (shared by digitize_window and the batched
-    path); returns the int16 grid plus channel windows and ZLE intervals."""
-    dt = const.sample_duration
-    C = const.n_tpc_pmts
-    C_all = const.n_channels_total
-    T = n_samples
-
-    W = photons_to_waveform(t, ch, gain, valid, 0, params.templates,
-                            n_channels=C, n_samples=T, sample_duration=dt)
-    adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
-
-    pl, pr, has = _channel_extents(
-        t, ch, valid, C, dt,
-        const.samples_before_pulse_center, const.samples_after_pulse_center,
-        const.samples_to_store_before, const.samples_to_store_after)
-    ch_left = jnp.clip(pl - const.trigger_window, 0, T - 1)
-    ch_right = jnp.clip(pr + const.trigger_window, 0, T - 1)
-
-    data = jnp.zeros((C_all, T), jnp.int32)
-    data = data.at[:C].set(adc)
-    mask = jnp.zeros(C_all, bool).at[:C].set(has)
-    left_all = jnp.full(C_all, 0, jnp.int32).at[:C].set(ch_left)
-    right_all = jnp.full(C_all, 0, jnp.int32).at[:C].set(ch_right)
-
-    if const.detector == 'XENONnT' and const.he_channel_end >= const.he_channel_start:
-        n_top = const.n_top_pmts
-        he_lo = const.he_channel_start
-        adc_he = adc[:n_top] * const.high_energy_deamp_int
-        data = data.at[he_lo:he_lo + n_top].set(adc_he)
-        mask = mask.at[he_lo:he_lo + n_top].set(has[:n_top])
-        left_all = left_all.at[he_lo:he_lo + n_top].set(ch_left[:n_top])
-        right_all = right_all.at[he_lo:he_lo + n_top].set(ch_right[:n_top])
-        bot_sum = jnp.sum(adc[n_top:C] * const.high_energy_deamp_int, axis=0)
-        data = data.at[const.sum_signal_channel].add(bot_sum)
-
-    idx = jnp.arange(T, dtype=jnp.int32)
-    in_win = (idx[None, :] >= left_all[:, None]) & \
-             (idx[None, :] <= right_all[:, None]) & mask[:, None]
-
-    if const.enable_noise and params.noise_data is not None:
-        L = params.noise_data.shape[0]
-        Cn = params.noise_data.shape[1]
-        nch = min(Cn, C_all)
-        # random noise-bank origin (reference: rawdata.py:407-417)
-        lg = jnp.min(jnp.where(mask, left_all, jnp.int32(2 ** 30)))
-        rg = jnp.max(jnp.where(mask, right_all, jnp.int32(-2 ** 30)))
-        high = jnp.maximum(L - (rg - lg) - 1, 1)
-        noise_ix = jax.random.randint(key, (), 0, high, dtype=jnp.int32)
-        col = (noise_ix + idx[None, :] - left_all[:nch, None]) % L
-        noise = jnp.take_along_axis(params.noise_data[:, :nch].T, col, axis=1)
-        data = data.at[:nch].add(jnp.where(in_win[:nch], noise, 0))
-
-    data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
-    data = jnp.where(in_win, jnp.maximum(data, 0), data)
-
-    # without noise and with the (reference-faithful) zeroed HE deamp factor,
-    # only the TPC rows can ever cross threshold — skip the rest in ZLE
-    zle_rows = C_all
-    if not const.enable_noise and const.high_energy_deamp_int == 0:
-        zle_rows = C
-
-    holdoff = 2 * const.trigger_window + 1
-    starts, ends, counts = zle_all_channels(
-        data[:zle_rows], params.zle_thresholds[:zle_rows],
-        left_all[:zle_rows], right_all[:zle_rows], mask[:zle_rows],
-        holdoff=holdoff, trigger_window=const.trigger_window,
-        max_intervals=max_intervals)
-    if zle_rows < C_all:
-        pad = C_all - zle_rows
-        starts = jnp.concatenate([starts, jnp.zeros((pad, max_intervals),
-                                                    jnp.int32)])
-        ends = jnp.concatenate([ends, jnp.zeros((pad, max_intervals),
-                                                jnp.int32)])
-        counts = jnp.concatenate([counts, jnp.zeros(pad, jnp.int32)])
-    return (data.astype(jnp.int16), mask, left_all, right_all,
-            starts, ends, counts)
-
-
 @partial(jax.jit, static_argnames=('const', 'n_samples', 'max_intervals',
                                    'n_pieces', 'n_cap'))
 def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
-                    pieces, key, *,
+                    pieces, noise_ix, *,
                     n_samples: int,
                     n_pieces: int,
                     n_cap: int,
@@ -237,14 +182,22 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     Host traffic: the tiny piece table in, packed records out (the TPU tunnel
     has ~200 ms/transfer latency, so nothing else crosses it).
 
+    The returned grid is the SIGNAL-RESIDUAL view for transport: ZLE and
+    saturation are computed on the full noisy waveform (reference semantics,
+    rawdata.py:398-458), but the noise overlay — which the host can
+    regenerate exactly from the bank and the host-drawn ``noise_ix`` — is
+    subtracted again before the data leaves the device, so the wire payload
+    keeps no-noise sparsity.  :func:`add_noise_host` is the inverse.
+
     :param arena_t/ch/gain: (A,) photon arena (concatenated sim buffers);
         times are int32 ns relative to each buffer's base
     :param pieces: (B, n_pieces, 3) int32 [arena_lo, count, t_offset];
         count==0 marks padding pieces
-    :returns: rec_data (max_records, spr) int16 and rec_meta
-        (max_records+1, 6) int32 [window, channel, left_rel, length,
-        pulse_length, record_i]; the trailer row's first element is the true
-        total record count (no separate scalar sync needed).
+    :param noise_ix: (B,) int32 host-drawn noise-bank start row per window
+        (ignored when noise is off; pass zeros)
+    :returns: dict with the residual grid, channel windows, ZLE intervals
+        and exact record/interval/value counts (fetched in one tiny
+        transfer to size the pack stage).
     """
     B = pieces.shape[0]
     spr = SAMPLES_PER_RECORD
@@ -298,49 +251,17 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     ch_right = jnp.clip(pr + const.trigger_window, 0, T - 1)
 
     holdoff = 2 * const.trigger_window + 1
-    use_pallas = (const.use_pallas_zle
-                  and not const.enable_noise
-                  and const.high_energy_deamp_int == 0
-                  and holdoff + 1 >= 64
-                  and T % 64 == 0
-                  and T <= 16384     # VMEM row budget (ops/pallas_zle.py)
-                  and jax.default_backend() == 'tpu')
+    noise_on = bool(const.enable_noise and params.noise_data is not None)
+    Cn = int(params.noise_data.shape[1]) if noise_on else 0
 
-    if use_pallas:
-        # single-pass fused ADC + ZLE kernel (ops/pallas_zle.py); HE and sum
-        # rows carry no signal in this regime, so only TPC rows are scanned
-        from ..ops.pallas_zle import fused_adc_zle, BIG as PBIG
-        thr_f = jnp.broadcast_to(params.zle_thresholds[None, :C],
-                                 (B, C)).reshape(-1)
-        data_tpc, s_m, e_m = fused_adc_zle(
-            W, ch_left.reshape(-1), ch_right.reshape(-1), has.reshape(-1),
-            thr_f, float(const.current_2_adc),
-            int(const.digitizer_reference_baseline),
-            holdoff=holdoff, trigger_window=const.trigger_window,
-            block_rows=128)
-        K = T // 64
-        pad_c = C_all - C
-        data = jnp.concatenate(
-            [data_tpc.reshape(B, C, T),
-             jnp.zeros((B, pad_c, T), jnp.int16)], axis=1)
-        left_all = jnp.concatenate(
-            [ch_left, jnp.zeros((B, pad_c), jnp.int32)], axis=1)
-        starts = jnp.concatenate(
-            [s_m.reshape(B, C, K),
-             jnp.full((B, pad_c, K), int(PBIG), jnp.int32)], axis=1)
-        e_raw = jnp.concatenate(
-            [e_m.reshape(B, C, K),
-             jnp.full((B, pad_c, K), -int(PBIG), jnp.int32)], axis=1)
-        # pair every start with the first end marker at/after its slot
-        # (markers are >= holdoff+1 apart, so pairing is unambiguous)
-        e_pad = jnp.where(e_raw > -int(PBIG), e_raw, int(PBIG))
-        ends = jnp.flip(jax.lax.cummin(jnp.flip(e_pad, axis=2), axis=2), axis=2)
-        itv_valid = starts < int(PBIG)
-    elif not const.enable_noise and const.high_energy_deamp_int == 0:
+    if const.high_energy_deamp_int == 0 and (not noise_on or Cn <= C):
         # ---- slim grid: the HE copies are all-zero (int deamp quirk,
-        # reference: rawdata.py:242) and carry no noise, so neither they nor
-        # the sum channel can ever cross threshold — digitize, ZLE and pack
-        # over the C TPC rows only (1.6x less HBM traffic on the grid).
+        # reference: rawdata.py:242) and the noise bank covers at most the
+        # TPC rows (reference skips ch >= noise_data_channels,
+        # rawdata.py:419-421), so the HE rows sit at constant baseline and
+        # the (unmasked) sum channel gets neither noise nor baseline —
+        # neither can ever cross threshold.  Digitize, ZLE and pack over
+        # the C TPC rows only (1.6x less HBM traffic on the grid).
         # Record channel ids stay correct because TPC channels are 0..C-1.
         adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
         data = adc.reshape(B, C, T)
@@ -349,6 +270,12 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
         idxT = jnp.arange(T, dtype=jnp.int32)
         in_win = (idxT[None, None, :] >= left_all[:, :, None]) & \
                  (idxT[None, None, :] <= right_all[:, :, None]) & mask[:, :, None]
+        novl = None
+        if noise_on:
+            nch = min(Cn, C)
+            noise = _noise_gather(params, noise_ix, left_all[:, :nch], T)
+            novl = jnp.where(in_win[:, :nch], noise, 0)
+            data = data.at[:, :nch].add(novl)
         data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
         data = jnp.where(in_win, jnp.maximum(data, 0), data)
 
@@ -365,6 +292,11 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
         counts = counts.reshape(B, C)
         kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
         itv_valid = kk < counts[:, :, None]
+        if novl is not None:
+            # transport view: ZLE/saturation saw the noisy waveform; strip
+            # the (host-reconstructible) overlay so the wire payload keeps
+            # no-noise sparsity (add_noise_host re-applies it exactly)
+            data = data.at[:, :nch].add(-novl)
         data = data.astype(jnp.int16)
     else:
         adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
@@ -422,39 +354,13 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
         in_win = (idxT[None, None, :] >= left_all[:, :, None]) & \
                  (idxT[None, None, :] <= right_all[:, :, None]) & mask[:, :, None]
 
-        # ---- noise overlay ----
-        if const.enable_noise and params.noise_data is not None:
-            L = params.noise_data.shape[0]
-            Cn = params.noise_data.shape[1]
+        # ---- noise overlay (host-drawn bank offsets) ----
+        novl = None
+        if noise_on:
             nch = min(Cn, C_all)
-            lg = jnp.min(jnp.where(mask, left_all, BIG), axis=1)
-            rg = jnp.max(jnp.where(mask, right_all, -BIG), axis=1)
-            high = jnp.maximum(L - (rg - lg) - 1, 1)
-            u = jax.random.uniform(key, (B,))
-            noise_ix = (u * high.astype(jnp.float32)).astype(jnp.int32)
-            if params.noise_ext is not None and T <= NOISE_PAD:
-                # each (window, channel)'s noise segment is ONE contiguous
-                # slice of the wrap-extended channel-major bank: value at
-                # (b,c,t) is bank[(noise_ix+t-left) % L, c], identical by
-                # construction of noise_ext; the pointwise modular gather
-                # below measured 345 ms/call at bench-suite shapes
-                start = (NOISE_PAD + noise_ix[:, None]
-                         - left_all[:, :nch]).astype(jnp.int32)
-                start = jnp.clip(start, 0, params.noise_ext.shape[1] - T)
-                c_io = jax.lax.broadcasted_iota(jnp.int32, (B, nch), 1)
-
-                def _slice(c, s):
-                    return jax.lax.dynamic_slice(
-                        params.noise_ext, (c, s), (1, T))[0]
-                noise = jax.vmap(_slice)(c_io.reshape(-1),
-                                         start.reshape(-1))
-                noise = noise.reshape(B, nch, T).astype(jnp.int32)
-            else:
-                col = (noise_ix[:, None, None] + idxT[None, None, :]
-                       - left_all[:, :nch, None]) % L
-                noise = params.noise_data[:, :nch].T[
-                    jax.lax.broadcasted_iota(jnp.int32, col.shape, 1), col]
-            data = data.at[:, :nch].add(jnp.where(in_win[:, :nch], noise, 0))
+            noise = _noise_gather(params, noise_ix, left_all[:, :nch], T)
+            novl = jnp.where(in_win[:, :nch], noise, 0)
+            data = data.at[:, :nch].add(novl)
 
         # ---- baseline + saturation ----
         data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
@@ -462,7 +368,7 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
 
         # ---- ZLE over flattened rows ----
         zle_rows = C_all
-        if not const.enable_noise and const.high_energy_deamp_int == 0:
+        if not noise_on and const.high_energy_deamp_int == 0:
             zle_rows = C
         zthr = jnp.broadcast_to(params.zle_thresholds[None, :zle_rows],
                                 (B, zle_rows)).reshape(-1)
@@ -484,6 +390,8 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
             counts = jnp.pad(counts, ((0, 0), (0, padr)))
         kk = jnp.arange(K, dtype=jnp.int32)[None, None, :]
         itv_valid = kk < counts[:, :, None]
+        if novl is not None:
+            data = data.at[:, :nch].add(-novl)   # transport residual view
         data = data.astype(jnp.int16)
 
     # ---- record/interval counts (exact; size the pack kernel + host
@@ -497,35 +405,21 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     # (baseline inside the pulse, zero in the tail pad) — sizes the encoded
     # transport's value buffer; rides the same tiny counts fetch. The host
     # decoder slices values by the actual mask popcount, so a slight
-    # overestimate only costs a few extra wire bytes.
+    # overestimate only costs a few extra wire bytes.  The grid is the
+    # signal-residual view in every regime (noise stripped above), so the
+    # count is a pure elementwise reduce over the channel windows —
+    # measured +0.2% over the exact per-interval count, without that
+    # version's 2x ~40 ms endpoint cumsum gathers.
     rows = data.shape[1]
     if rows == C:
-        # no-noise slim path: count non-baseline samples inside the channel
-        # windows — a pure elementwise reduce (measured +0.2% over the exact
-        # per-interval count; the exact version's endpoint gathers cost
-        # 2x ~40 ms per call)
-        idxT = jnp.arange(T, dtype=jnp.int32)
-        in_w = (idxT[None, None, :] >= ch_left[:, :, None]) & \
-               (idxT[None, None, :] <= ch_right[:, :, None]) & has[:, :, None]
-        neq = (data != const.digitizer_reference_baseline) & in_w
-        total_nnz = neq.sum().astype(jnp.int32)
+        w_l, w_r, w_m = ch_left, ch_right, has
     else:
-        # noise regimes: windows are full of non-baseline noise samples, so
-        # the window bound is far too loose — count exactly per interval
-        neq = (data != const.digitizer_reference_baseline).astype(jnp.int32)
-        csum_neq = jnp.concatenate(
-            [jnp.zeros((B * rows, 1), jnp.int32),
-             jnp.cumsum(neq.reshape(B * rows, -1), axis=1)], axis=1)
-        a = (left_all[:, :, None] + starts).reshape(B * rows, -1)
-        b = a + plen.reshape(B * rows, -1)
-        a = jnp.clip(a, 0, T)
-        b = jnp.clip(b, 0, T)
-        csum_flat = csum_neq.reshape(-1)
-        rbase = (jnp.arange(B * rows, dtype=jnp.int32) * (T + 1))[:, None]
-        nnz_itv = csum_flat[(rbase + b).reshape(-1)] \
-            - csum_flat[(rbase + a).reshape(-1)]
-        total_nnz = jnp.where(itv_valid.reshape(-1), nnz_itv,
-                              0).sum().astype(jnp.int32)
+        w_l, w_r, w_m = left_all, right_all, mask
+    idxT = jnp.arange(T, dtype=jnp.int32)
+    in_w = (idxT[None, None, :] >= w_l[:, :, None]) & \
+           (idxT[None, None, :] <= w_r[:, :, None]) & w_m[:, :, None]
+    neq = (data != const.digitizer_reference_baseline) & in_w
+    total_nnz = neq.sum().astype(jnp.int32)
     return dict(data=data, left_all=left_all,
                 starts=starts, ends=ends, itv_valid=itv_valid,
                 n_records=total_rec, n_intervals=total_itv,
@@ -700,16 +594,20 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     esc_vals = jnp.zeros(max_values, jnp.int16).at[
         jnp.where(esc, epos, max_values)].set(values, mode='drop')
 
-    # ---- interval table: one row per non-empty interval, natural order ----
+    # ---- interval table: one row per non-empty interval, natural order;
+    # the 4th word (the channel's window start) lets the host realign the
+    # noise bank to reconstruct the overlay the device stripped ----
     itv_live = (itv_valid & (plen > 0)).reshape(-1)
     ipos = jnp.cumsum(itv_live.astype(jnp.int32)) - 1
     i_flat = jnp.arange(itv_live.shape[0], dtype=jnp.int32)
     w_i = i_flat // (C_all * K)
     c_i = (i_flat // K) % C_all
+    left_ch = jnp.broadcast_to(left_all[:, :, None], plen.shape).reshape(-1)
     itv_rows = jnp.stack([w_i * 2048 + c_i,
                           left_rel.reshape(-1),
-                          plen.reshape(-1)], axis=1).astype(jnp.int32)
-    itv_meta = jnp.zeros((max_records, 3), jnp.int32).at[
+                          plen.reshape(-1),
+                          left_ch], axis=1).astype(jnp.int32)
+    itv_meta = jnp.zeros((max_records, 4), jnp.int32).at[
         jnp.where(itv_live, ipos, max_records)].set(itv_rows, mode='drop')
 
     return dict(itv_meta=itv_meta, rec_masks=masks, rec_values=d8,
@@ -718,9 +616,10 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
 
 def expand_interval_meta(itv_meta):
     """Host-side record derivation from the per-interval transport table:
-    returns (window, channel, start_sample, length, pulse_length, record_i),
-    each (n_records,) numpy — records of an interval are consecutive in the
-    natural emission order, so the expansion is a repeat + ramp."""
+    returns (window, channel, start_sample, length, pulse_length, record_i,
+    window_left), each (n_records,) numpy — records of an interval are
+    consecutive in the natural emission order, so the expansion is a
+    repeat + ramp."""
     spr = SAMPLES_PER_RECORD
     wc = itv_meta[:, 0].astype(np.int64)
     start = itv_meta[:, 1].astype(np.int64)
@@ -733,7 +632,28 @@ def expand_interval_meta(itv_meta):
     start_s = start[rec_itv] + k * spr
     m_plen = plen[rec_itv]
     length = np.clip(m_plen - k * spr, 0, spr)
-    return w_of, c_of, start_s, length, m_plen, k
+    left_ch = itv_meta[:, 3].astype(np.int64)[rec_itv]
+    return w_of, c_of, start_s, length, m_plen, k, left_ch
+
+
+def add_noise_host(out, channel, start_s, length, left_ch, noise_ix_rec,
+                   bank):
+    """Re-apply, in place, the noise overlay the device stripped from the
+    transport payload: ``out[r, k] += bank[(noise_ix_rec[r] + start_s[r] + k
+    - left_ch[r]) % L, channel[r]]`` for k < length[r] and channels covered
+    by the bank — the exact inverse of the residual view
+    (:func:`gather_digitize` docstring; alignment semantics from reference
+    rawdata.py:407-431)."""
+    L, Cn = bank.shape
+    rows = np.flatnonzero((channel < Cn) & (length > 0))
+    if not len(rows):
+        return out
+    k = np.arange(out.shape[1], dtype=np.int64)
+    idx = (noise_ix_rec[rows, None] + start_s[rows, None] + k[None, :]
+           - left_ch[rows, None]) % L
+    nv = bank[idx, channel[rows, None]].astype(np.int16)
+    out[rows] = out[rows] + np.where(k[None, :] < length[rows, None], nv, 0)
+    return out
 
 
 def decode_records(lengths, masks, d8, esc_vals, baseline):

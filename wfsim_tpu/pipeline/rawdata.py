@@ -144,9 +144,10 @@ def _fetch_in_slices(arrays, target_bytes=3_000_000):
 
 class _Pulse(ty.NamedTuple):
     """Host record of one simulated instruction-group's photons (a contiguous
-    slot range in the device photon arena)."""
+    slot range in one registered device photon buffer)."""
     inst_idx: np.ndarray      # indices into the instruction array
-    pool_start: int           # arena slot of first photon
+    buf: int                  # photon-buffer id (RawDataTPU._buffers key)
+    buf_start: int            # first slot within that buffer
     pool_count: int
     t_min: int                # abs ns (first photon)
     t_max: int                # abs ns (last photon)
@@ -188,11 +189,27 @@ class RawDataTPU:
         if mesh is not None:
             default_impl = 'threefry2x32'
         impl = self.config.get('prng_impl', default_impl)
+        if mesh is not None:
+            if 'prng_impl' not in self.config and \
+                    jax.default_backend() == 'tpu':
+                log.warning(
+                    'mesh run: PRNG defaults to partitionable threefry2x32 '
+                    '(single-chip TPU default is rbg) — sharded records/truth '
+                    'will NOT match an unsharded run of the same seed; pin '
+                    "config['prng_impl'] to make them agree (PARITY.md "
+                    'deviation 2)')
+            elif impl != 'threefry2x32':
+                log.warning(
+                    "mesh run with prng_impl=%r: this generator's draws "
+                    'depend on the sharding, so records/truth will change '
+                    'with the device count; use threefry2x32 for '
+                    'sharding-invariant output (PARITY.md deviation 2)', impl)
         self.key = jax.random.key(
             seed if seed else np.random.randint(2 ** 31), impl=impl)
         self._key_ctr = 0
         self.source_finished = False
         self.last_pulse_end_time = -np.inf
+        self._pipeline_live = False
         self.diag = Timers()
         self._validate_model_types()
         # exact upper bound on the S1 light yield (multilinear interpolation
@@ -398,8 +415,10 @@ class RawDataTPU:
         if want_gen and kind == 's2' and (
                 self.const.enable_electron_afterpulses
                 or self.const.enable_gate_afterpulses):
-            counts_d, tz_d = photon_summaries(
-                photons, self._next_key(), n_inst=n_rows_cap)
+            summ_key = self._next_key()
+            counts_d, tz_d = photon_summaries(photons, summ_key,
+                                              n_inst=n_rows_cap)
+            job['summ_key'] = summ_key
             job['summ_pack'] = self._pack_device(dict(counts=counts_d, tz=tz_d))
         return job
 
@@ -448,6 +467,14 @@ class RawDataTPU:
                 job['ap_pack'] = self._pack_device(
                     {k: ap_info[k] for k in ('counts', 't_min', 't_max',
                                              'total')})
+            if 'summ_pack' in job:
+                # the electron-afterpulse instructions derive from these
+                # photon statistics — recompute from the UNtruncated retry
+                # photons (same key, so the thinning draws agree)
+                counts_d, tz_d = photon_summaries(photons, job['summ_key'],
+                                                  n_inst=n_rows_cap)
+                job['summ_pack'] = self._pack_device(
+                    dict(counts=counts_d, tz=tz_d))
         else:
             raise RuntimeError('photon capacity runaway')
 
@@ -491,13 +518,15 @@ class RawDataTPU:
                           truth_sink)
 
     def _append_buffer(self, photons, base_time):
-        """Register a DEVICE photon buffer in the arena (no transfer).
-        Returns the arena slot of the buffer's slot 0."""
-        start = self._pool_size
-        cap = int(photons['t'].shape[0])
-        self._buffers.append((photons, int(base_time)))
-        self._pool_size += cap
-        return start
+        """Register a DEVICE photon buffer (no transfer); returns its id.
+        Buffers stay registered until no pending pulse references them —
+        each digitize round builds its arena from the buffers its window
+        batch actually needs, so pipelined rounds can defer boundary pulses
+        without holding every buffer alive."""
+        bid = self._buf_ctr
+        self._buf_ctr += 1
+        self._buffers[bid] = (photons, int(base_time))
+        return bid
 
     @staticmethod
     def _pack_device(tree):
@@ -546,13 +575,13 @@ class RawDataTPU:
                      base_time, truth_h, req, row_members, kind, truth_sink):
         off = np.concatenate([[0], np.cumsum(req)]).astype(np.int64)
 
-        prim_start = self._append_buffer(photons, base_time)
+        prim_buf = self._append_buffer(photons, base_time)
 
-        ap_start = None
+        ap_buf = None
         if ap_photons is not None:
             ap_off = np.concatenate(
                 [[0], np.cumsum(ap_h['counts'])]).astype(np.int64)
-            ap_start = self._append_buffer(ap_photons, base_time)
+            ap_buf = self._append_buffer(ap_photons, base_time)
 
         for r, members in enumerate(row_members):
             n_primary = int(truth_h['photon_count'][r])
@@ -568,16 +597,16 @@ class RawDataTPU:
                 cnt = int(off[members[-1] + 1] - slot_lo)
                 self._pulses.append(_Pulse(
                     inst_idx=np.asarray(idx)[members],
-                    pool_start=prim_start + slot_lo, pool_count=cnt,
+                    buf=prim_buf, buf_start=slot_lo, pool_count=cnt,
                     t_min=int(truth_h['photon_t_min'][r]) + base_time,
                     t_max=int(truth_h['photon_t_max'][r]) + base_time,
                     truth_key=len(truth_sink) - 1, event_number=ev,
                     base_time=base_time))
 
-            if ap_start is not None and int(ap_h['counts'][r]) > 0:
+            if ap_buf is not None and int(ap_h['counts'][r]) > 0:
                 self._pulses.append(_Pulse(
                     inst_idx=np.asarray(idx)[members],
-                    pool_start=ap_start + int(ap_off[r]),
+                    buf=ap_buf, buf_start=int(ap_off[r]),
                     pool_count=int(ap_h['counts'][r]),
                     t_min=int(ap_h['t_min'][r]) + base_time,
                     t_max=int(ap_h['t_max'][r]) + base_time,
@@ -682,17 +711,24 @@ class RawDataTPU:
         """Production interface: yields per digitization window a dict with
         win_left/win_right (absolute samples) and a ready strax raw_record
         array (sorted by channel, then interval, like the reference's per
-        flush yield order)."""
+        flush yield order).
+
+        Runs as a depth-2 pipeline over arrival-ordered SUPER-BATCHES of
+        instructions: while super-batch k's packed records stream back over
+        the wire (the dominant wall term through the TPU relay), super-batch
+        k+1's simulation kernels execute on the device.  Flush groups that
+        could still absorb pulses arriving after the batch boundary are
+        deferred to the next digitize round (see ``_dispatch_digitize``), so
+        the window framing is identical to a single-pass run."""
         if truth_buffer is None:
             truth_buffer = []
         rext = int(self.config['right_raw_extension'])
         dt = self.const.sample_duration
 
         self.source_finished = False
-        self._buffers: ty.List[tuple] = []
-        self._pool_size = 0
+        self._buffers: ty.Dict[int, tuple] = {}
+        self._buf_ctr = 0
         self._pulses: ty.List[_Pulse] = []
-        truth_rows: ty.List[dict] = []
 
         instructions = np.asarray(instructions)
         self.instruction_event_number = int(np.min(instructions['event_number'])) \
@@ -700,31 +736,86 @@ class RawDataTPU:
         arrival = self._arrival_times(instructions)
         order = np.argsort(arrival, kind='stable')
 
-        # --- simulate primaries in arrival-ordered batches per chain ---
-        gen_sink: ty.List[np.ndarray] = []
-        with self.diag.phase('simulate'):
-            self._run_generation(instructions, order, truth_rows, gen_sink)
+        batches = self._split_super_batches(arrival, order)
+        self._pipeline_live = len(batches) > 1
+        pending = None
+        for order_k, safe_t in batches:
+            truth_rows: ty.List[dict] = []
+            gen_sink: ty.List[np.ndarray] = []
 
-        # --- electron-afterpulse generation (one feedback step) ---
-        if gen_sink:
-            secondaries = np.concatenate([g for g in gen_sink if len(g)])
-            if len(secondaries):
-                arr2 = self._arrival_times(secondaries)
-                order2 = np.argsort(arr2, kind='stable')
-                with self.diag.phase('simulate_afterpulses'):
-                    self._run_generation(secondaries, order2, truth_rows,
-                                         None)
+            # --- simulate primaries in arrival-ordered batches per chain ---
+            with self.diag.phase('simulate'):
+                jobs = self._sim_dispatch(instructions, order_k,
+                                          want_gen=True)
+            if pending is not None:
+                # previous round's payload streams over the wire while the
+                # sim kernels just dispatched execute on the device
+                with self.diag.phase('digitize'):
+                    yield from self._collect_digitize(pending)
+                pending = None
+            with self.diag.phase('simulate'):
+                self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
 
-        # --- truth out ---
-        self._drain_truth(truth_buffer, truth_rows)
+            # --- electron-afterpulse feedback (one step, ref rawdata.py:133-140) ---
+            gen_sink = [g for g in gen_sink if len(g)]
+            if gen_sink:
+                secondaries = np.concatenate(gen_sink)
+                if len(secondaries):
+                    arr2 = self._arrival_times(secondaries)
+                    order2 = np.argsort(arr2, kind='stable')
+                    with self.diag.phase('simulate_afterpulses'):
+                        jobs2 = self._sim_dispatch(secondaries, order2,
+                                                   want_gen=False)
+                        self._sim_finalize(jobs2, secondaries, truth_rows,
+                                           None)
 
-        # --- digitization windows (flush-on-gap, reference rawdata.py:96-98) ---
-        with self.diag.phase('digitize'):
-            yield from self._digitize_all(rext, dt)
+            # --- truth out (before this batch's windows can be yielded) ---
+            self._drain_truth(truth_buffer, truth_rows)
+
+            # --- digitization windows (flush-on-gap, ref rawdata.py:96-98) ---
+            with self.diag.phase('digitize'):
+                pending = self._dispatch_digitize(safe_t, rext, dt)
+        if pending is not None:
+            with self.diag.phase('digitize'):
+                yield from self._collect_digitize(pending)
         self.source_finished = True
 
-    def _run_generation(self, instructions, order, truth_rows, gen_sink):
-        """Batch same-chain instructions in arrival order and simulate."""
+    def _split_super_batches(self, arrival, order):
+        """Cut the arrival-ordered instruction stream into pipeline
+        super-batches; returns [(order_slice, safe_t), ...].
+
+        ``safe_t`` is the earliest time any LATER batch can contribute a
+        pulse: the next batch's first signal arrival minus a slack for
+        pre-arrival photons (S2 drift-diffusion spread, luminescence and
+        gate-afterpulse jitter are all well under it).  Cuts are only placed
+        at arrival gaps > gap_thr so that, combined with flush-group
+        deferral, pipelined window framing matches a single-pass run."""
+        n = len(order)
+        depth = int(self.config.get('pipeline_depth', 3))
+        min_batch = int(self.config.get('pipeline_min_batch', 64))
+        if n < 2 * min_batch or depth <= 1:
+            return [(order, np.inf)]
+        rext = int(self.config['right_raw_extension'])
+        slack = 3 * rext + 100_000
+        gap_thr = slack + 2 * rext
+        target = max(int(np.ceil(n / depth)), min_batch)
+        sa = np.asarray(arrival)[order]
+        cuts = np.flatnonzero(np.diff(sa) > gap_thr) + 1
+        batches = []
+        start = 0
+        for c in cuts:
+            if c - start >= target and n - c >= target // 2:
+                batches.append((order[start:c], float(sa[c]) - slack))
+                start = c
+        batches.append((order[start:], np.inf))
+        return batches
+
+    def _sim_dispatch(self, instructions, order, want_gen):
+        """Batch same-chain instructions in arrival order and dispatch all
+        device work (demand pre-pass + full kernels); returns job handles
+        for :meth:`_sim_finalize`.  Nothing blocks on sim compute — only the
+        tiny demand-count fetch syncs, so a caller can overlap the queued
+        kernels with wire transfers."""
         MAX_BATCH_INST = 1024
         MAX_BATCH_AMP = {'s1': 3_000_000, 's2': 200_000}
         MAX_SPAN_NS = int(15e8)  # int32 time offsets allow up to ~2.1e9 ns
@@ -738,10 +829,7 @@ class RawDataTPU:
                 continue
             batches[k].append(i)
 
-        # phase 1: dispatch every batch (device work pipelines);
-        # phase 2: finalize in order (fetches overlap remaining compute)
         t_d0 = time.perf_counter()
-        want_gen = gen_sink is not None
         batch_list = []
         for kind, idxs in batches.items():
             if not idxs:
@@ -784,6 +872,11 @@ class RawDataTPU:
                                               want_gen)
                     for kind, idx in batch_list]
         self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
+        return jobs
+
+    def _sim_finalize(self, jobs, instructions, truth_rows, gen_sink):
+        """Collect every dispatched sim batch (blocking truth fetches ride
+        the async copies started at dispatch)."""
         t_f0 = time.perf_counter()
         for job in jobs:
             self._finalize_type_batch(job, instructions, truth_rows, gen_sink)
@@ -801,16 +894,22 @@ class RawDataTPU:
                     truth_buffer[ix][k] = v
             truth_buffer[ix]['fill'] = True
 
-    def _digitize_all(self, rext, dt):
-        """Group pulses into windows, digitize in large batched device calls
-        (gathering photons straight from the device arena) with on-device
-        record packing, and yield per-window record arrays in time order."""
-        from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
-        from .digitize import (gather_digitize, pack_records_encoded,
-                               decode_records, expand_interval_meta)
+    def _dispatch_digitize(self, safe_t, rext, dt):
+        """Group pending pulses into digitization windows and dispatch all
+        device work for them (flush-on-gap grouping, batched digitize+ZLE
+        kernels, exact-size record packing, async payload copies); returns
+        the round state consumed by :meth:`_collect_digitize`.
+
+        Flush groups that could still absorb a pulse arriving at/after
+        ``safe_t`` (within ``rext`` of the group end) are NOT digitized:
+        their pulses stay queued for the next round, so pipelined runs frame
+        windows exactly like a single-pass run (groups are time-ordered, so
+        the deferred set is always a suffix and yields stay time-sorted).
+        """
+        from .digitize import gather_digitize, pack_records_encoded
 
         if not self._pulses:
-            return
+            return None
         t_grp0 = time.perf_counter()
         margin_l = (self.const.samples_to_store_before
                     + self.const.samples_before_pulse_center
@@ -828,11 +927,7 @@ class RawDataTPU:
         # between the pulses) by ~4x.  Only in the no-noise slim regime:
         # with noise on, the per-channel noise overlay spans the unsplit
         # channel window, so splitting would change where noise lands.
-        # Deviation note: for a channel with photons in several sub-windows
-        # the reference anchors its even-sample alignment at the channel's
-        # first pulse; sub-windows re-anchor locally, which can shift record
-        # boundaries by one baseline-padding sample on such channels.  Set
-        # split_digitize_gap_ns to a huge value for exact unsplit behavior.
+        # Deviation note: PARITY.md "Documented deviations" 1.
         holdoff_w = 2 * self.const.trigger_window + 1
         slim = (not self.const.enable_noise
                 and self.const.high_energy_deamp_int == 0)
@@ -840,17 +935,6 @@ class RawDataTPU:
         if split_gap is None:
             split_gap = (max(4 * (margin_l + margin_r + holdoff_w) * dt,
                              20_000) if slim else 0)
-
-        # build the device photon arena (pure device-side concatenation);
-        # under a mesh the arena replicates — every chip sees all photons and
-        # gathers its own window batch shard from them
-        arena_t = self._replicate(jnp.concatenate(
-            [b[0]['t'].astype(jnp.int32) for b in self._buffers]))
-        arena_ch = self._replicate(jnp.concatenate(
-            [b[0]['ch'].astype(jnp.int32) for b in self._buffers]))
-        arena_g = self._replicate(jnp.concatenate(
-            [b[0]['gain'] for b in self._buffers]))
-        self._buffers.clear()
 
         groups: ty.List[ty.List[_Pulse]] = []
         cur = [pulses[0]]
@@ -863,6 +947,48 @@ class RawDataTPU:
                 cur.append(p)
             cur_end = max(cur_end, p.t_max + margin_r * dt)
         groups.append(cur)
+
+        # defer groups a future pulse (t >= safe_t) could still join; group
+        # ends are strictly increasing, so the deferred set is a suffix
+        if safe_t != np.inf:
+            live = []
+            deferred: ty.List[_Pulse] = []
+            for grp in groups:
+                g_end = max(p.t_max for p in grp) + margin_r * dt
+                if deferred or g_end >= safe_t - rext:
+                    deferred.extend(grp)
+                else:
+                    live.append(grp)
+            groups = live
+            self._pulses = deferred
+        else:
+            self._pulses = []
+        if not groups:
+            return None
+
+        # build the round's photon arena from the buffers its pulses
+        # reference (device-side concatenation; under a mesh the arena
+        # replicates — every chip gathers its window shard from it), then
+        # drop buffers no deferred pulse still needs
+        used = sorted({p.buf for grp in groups for p in grp})
+        base_of = {}
+        off = 0
+        bufs = []
+        for bid in used:
+            ph, _bt = self._buffers[bid]
+            base_of[bid] = off
+            off += int(ph['t'].shape[0])
+            bufs.append(ph)
+        arena_t = self._replicate(jnp.concatenate(
+            [b['t'].astype(jnp.int32) for b in bufs]))
+        arena_ch = self._replicate(jnp.concatenate(
+            [b['ch'].astype(jnp.int32) for b in bufs]))
+        arena_g = self._replicate(jnp.concatenate(
+            [b['gain'] for b in bufs]))
+        still = {p.buf for p in self._pulses}
+        for bid in list(self._buffers):
+            if bid not in still:
+                del self._buffers[bid]
 
         # sub-split each flush group at unbridgeable internal gaps; the
         # first sub-window of each group keeps flush=True so the chunker's
@@ -886,7 +1012,12 @@ class RawDataTPU:
                 cur_end = max(cur_end, p.t_max + margin_r * dt)
             subs.append((cur, first))
 
-        # window descriptors (in time order)
+        # window descriptors (in time order); the noise-bank start row is
+        # drawn HOST-side per window (PARITY.md deviation 3) so the decode
+        # stage can regenerate the overlay the transport strips
+        noise_on = (self.const.enable_noise
+                    and self.params.noise_data is not None)
+        noise_len = int(self.params.noise_data.shape[0]) if noise_on else 0
         wins = []
         for grp, flush in subs:
             t_min = min(p.t_min for p in grp)
@@ -898,10 +1029,12 @@ class RawDataTPU:
             T = int(win_right - win_left + 1)
             assert T < 1_000_000, 'Pulse cache too long'
             n_phot = sum(p.pool_count for p in grp)
+            nix = int(self.rng.integers(0, max(noise_len - T - 1, 1))) \
+                if noise_on else 0
             wins.append(dict(grp=grp, win_left=int(win_left),
                              win_right=int(win_right),
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
-                             n_phot=n_phot, flush=flush))
+                             n_phot=n_phot, flush=flush, noise_ix=nix))
 
         # bucket windows by (T_cap, N_cap, P_cap); coarse buckets: each
         # distinct shape costs a compile, each call a dispatch round trip
@@ -912,7 +1045,6 @@ class RawDataTPU:
         # digitize photon axis ~5x padding (a few more shape buckets is
         # cheaper than 4x wasted scatter/gather lanes)
         n_floor = int(self.config.get('digitize_n_floor', 2048))
-        results = [None] * len(wins)
         buckets: ty.Dict[tuple, list] = {}
         for i, w in enumerate(wins):
             n_cap = _bucket(w['n_phot'], lo=n_floor)
@@ -920,148 +1052,179 @@ class RawDataTPU:
             t_cap = max(w['T_cap'], t_floor)
             buckets.setdefault((t_cap, n_cap, p_cap), []).append(i)
 
-        spr = DEFAULT_RECORD_LENGTH
         max_itv = int(self.config.get('zle_max_intervals', 64))
         self.diag.seconds['digitize_group'] += time.perf_counter() - t_grp0
 
         def dispatch(batch, T_cap, n_cap, p_cap):
             B = _bucket(len(batch), lo=max(1, self._ev_shards), hi=2 ** 30)
             pieces = np.zeros((B, p_cap, 3), np.int32)
+            nix = np.zeros(B, np.int32)
             for bi, wi in enumerate(batch):
                 w = wins[wi]
                 win_base = w['win_left'] * dt
+                nix[bi] = w['noise_ix']
                 for pi, p in enumerate(w['grp']):
-                    pieces[bi, pi, 0] = p.pool_start
+                    pieces[bi, pi, 0] = base_of[p.buf] + p.buf_start
                     pieces[bi, pi, 1] = p.pool_count
                     pieces[bi, pi, 2] = p.base_time - win_base
-            return gather_digitize(
+            return nix, gather_digitize(
                 self.params, self.const, arena_t, arena_ch, arena_g,
-                self._shard_events(jnp.asarray(pieces)), self._next_key(),
+                self._shard_events(jnp.asarray(pieces)),
+                self._shard_events(jnp.asarray(nix)),
                 n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
                 max_intervals=max_itv)
 
-        # phase 1: dispatch every digitize batch (compute pipelines)
+        # phase 1: dispatch every digitize batch (compute pipelines); with
+        # the super-batch pipeline live, two rounds' grids can coexist on
+        # the device, so each round gets half the memory budget
         calls = []
         t_disp0 = time.perf_counter()
+        budget = _device_memory_budget() // (2 if self._pipeline_live else 1)
         for (T_cap, n_cap, p_cap), indices in buckets.items():
             # batch size bounded by HBM: the phase histogram dominates at
             # n_tpc_pmts * T * 10 * 4 bytes per window (plus the int grid)
             bytes_per_win = (self.const.n_tpc_pmts * T_cap * 10 * 4 * 2
                              + self.const.n_channels_total * T_cap * 8
                              + n_cap * 16)
-            b_max = max(1, _device_memory_budget() // bytes_per_win)
+            b_max = max(1, budget // bytes_per_win)
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
-                res = dispatch(batch, T_cap, n_cap, p_cap)
-                calls.append((batch, T_cap, n_cap, p_cap, res))
+                nix, res = dispatch(batch, T_cap, n_cap, p_cap)
+                calls.append((batch, T_cap, nix, res))
 
         self.diag.add('windows', len(wins))
-        self.diag.add('photons', sum(p.pool_count for p in pulses))
+        self.diag.add('photons',
+                      sum(p.pool_count for grp in groups for p in grp))
         self.diag.add('digitize_calls', len(calls))
         self.diag.seconds['digitize_dispatch'] += time.perf_counter() - t_disp0
 
         # phase 1b: ONE tiny fetch of all record counts (the trailer values),
-        # then slice each call's meta+payload ON DEVICE to its actual size,
-        # concatenate across calls, and fetch the whole chunk's records in
-        # exactly two transfers
-        payload_rows = []
-        if calls:
-            t0 = time.perf_counter()
-            counts_h = np.asarray(jnp.stack(
-                [jnp.stack([res['n_records'], res['n_values'],
-                            res['n_intervals']])
-                 for *_, res in calls]))
-            self.diag.seconds['digitize_counts_fetch'] += \
-                time.perf_counter() - t0
-            t0 = time.perf_counter()
-            baseline = int(self.const.digitizer_reference_baseline)
-            sizes = []
-            for ci, (batch, T_cap, n_cap, p_cap, res) in enumerate(calls):
-                n_rec = int(counts_h[ci, 0])
-                n_val = int(counts_h[ci, 1])
-                n_itv = int(counts_h[ci, 2])
-                # hi well above any real chunk: _bucket's default 2^22 cap
-                # silently truncated the value stream on noise/high-rate
-                # workloads (>4.2M masked samples per call)
-                max_records = _bucket(max(n_rec, 1), lo=1024, hi=2 ** 28)
-                max_values = _bucket(max(n_val, 1), lo=4096, hi=2 ** 28)
-                assert max_records >= n_rec and max_values >= n_val, \
-                    (n_rec, n_val)   # truncation here silently loses records
-                packed = pack_records_encoded(
-                    res['data'], res['left_all'], res['starts'],
-                    res['ends'], res['itv_valid'],
-                    # the slim digitize path returns TPC rows only
-                    n_channels_total=int(res['data'].shape[1]),
-                    n_samples=T_cap, max_intervals=max_itv,
-                    max_records=max_records, max_values=max_values,
-                    baseline=baseline)
-                n = max(n_rec, 1)
-                nv = max(n_val, 1)
-                # start the async wire copies of ALL buffers immediately —
-                # transfers of early calls overlap pack compute of later
-                # ones, and the collect loop below overlaps decode with the
-                # transfers still in flight. The escape stream's exact count
-                # lives on device, so its slice uses a generous host-side
-                # bound (escapes are DPCM outliers, a few % of values); the
-                # rare overflow triggers one blocking refetch below.
-                ne_bound = min(nv // 24 + 128, nv)
-                tok = _start_sliced_copies([
-                    packed['itv_meta'][:max(n_itv, 1)],
-                    packed['rec_masks'][:n],
-                    packed['rec_values'][:nv],
-                    packed['rec_escapes'][:ne_bound]])
-                sizes.append((n_rec, n_val, n_itv, ne_bound, tok, packed))
-            self.diag.seconds['digitize_pack_dispatch'] += \
-                time.perf_counter() - t0
-            t0 = time.perf_counter()
-            nbytes = 0
+        # then slice each call's meta+payload ON DEVICE to its actual size
+        # and start the async wire copies; the blocking collects happen in
+        # _collect_digitize, typically one super-batch later, so the
+        # transfers stream while the next batch's sim kernels execute
+        t0 = time.perf_counter()
+        counts_h = np.asarray(jnp.stack(
+            [jnp.stack([res['n_records'], res['n_values'],
+                        res['n_intervals']])
+             for *_, res in calls]))
+        self.diag.seconds['digitize_counts_fetch'] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        baseline = int(self.const.digitizer_reference_baseline)
+        sizes = []
+        batches_meta = []
+        for ci, (batch, T_cap, nix, res) in enumerate(calls):
+            n_rec = int(counts_h[ci, 0])
+            n_val = int(counts_h[ci, 1])
+            n_itv = int(counts_h[ci, 2])
+            # hi well above any real chunk: _bucket's default 2^22 cap
+            # silently truncated the value stream on noise/high-rate
+            # workloads (>4.2M masked samples per call)
+            max_records = _bucket(max(n_rec, 1), lo=1024, hi=2 ** 28)
+            max_values = _bucket(max(n_val, 1), lo=4096, hi=2 ** 28)
+            assert max_records >= n_rec and max_values >= n_val, \
+                (n_rec, n_val)   # truncation here silently loses records
+            packed = pack_records_encoded(
+                res['data'], res['left_all'], res['starts'],
+                res['ends'], res['itv_valid'],
+                # the slim digitize path returns TPC rows only
+                n_channels_total=int(res['data'].shape[1]),
+                n_samples=T_cap, max_intervals=max_itv,
+                max_records=max_records, max_values=max_values,
+                baseline=baseline)
+            n = max(n_rec, 1)
+            nv = max(n_val, 1)
+            # start the async wire copies of ALL buffers immediately —
+            # transfers of early calls overlap pack compute of later
+            # ones, and the collect loop overlaps decode with the
+            # transfers still in flight. The escape stream's exact count
+            # lives on device, so its slice uses a generous host-side
+            # bound (escapes are DPCM outliers, a few % of values); the
+            # rare overflow triggers one blocking refetch in collect.
+            ne_bound = min(nv // 24 + 128, nv)
+            tok = _start_sliced_copies([
+                packed['itv_meta'][:max(n_itv, 1)],
+                packed['rec_masks'][:n],
+                packed['rec_values'][:nv],
+                packed['rec_escapes'][:ne_bound]])
+            sizes.append((n_rec, n_val, n_itv, ne_bound, tok, packed, nix))
+            batches_meta.append(batch)
+        self.diag.seconds['digitize_pack_dispatch'] += \
+            time.perf_counter() - t0
+        return dict(wins=wins, sizes=sizes, batches=batches_meta,
+                    baseline=baseline, dt=dt,
+                    noise_bank=(np.asarray(self.params.noise_data)
+                                if noise_on else None))
 
-            def _decode_call(n_rec, n_val, n_itv, ne_bound, itv, masks, vals,
-                             escs, packed):
-                n_esc = int(np.count_nonzero(vals[:n_val] == -128))
-                if n_esc > ne_bound:
-                    escs = _fetch_in_slices(
-                        [packed['rec_escapes'][:n_esc]])[0]
-                m = expand_interval_meta(itv[:n_itv])
-                assert len(m[0]) == n_rec, (len(m[0]), n_rec)
-                return m, decode_records(m[3], masks[:n_rec],
-                                         vals[:n_val], escs[:n_esc],
-                                         baseline)
-            # note: pushing decode to a worker thread was tried and measured
-            # SLOWER (GIL contention with the blocking device fetches);
-            # inline decode between collects wins on this stack
-            for n_rec, n_val, n_itv, ne_bound, tok, packed in sizes:
-                itv, masks, vals, escs = _collect_sliced(tok)
-                nbytes += (itv.nbytes + masks.nbytes + vals.nbytes
-                           + escs.nbytes)
-                m, rdata = _decode_call(n_rec, n_val, n_itv, ne_bound, itv,
-                                        masks, vals, escs, packed)
-                payload_rows.append((n_rec, m, rdata))
-            self.diag.seconds['digitize_payload_fetch'] += \
-                time.perf_counter() - t0
-            self.diag.add('payload_bytes', nbytes)
+    def _collect_digitize(self, state):
+        """Block on a dispatched digitize round's payload transfers, decode
+        the residual stream (re-applying the noise overlay host-side), split
+        records per window and yield the windows in time order."""
+        from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
+        from .digitize import (decode_records, expand_interval_meta,
+                               add_noise_host)
+        if state is None:
+            return
+        wins = state['wins']
+        baseline = state['baseline']
+        noise_bank = state['noise_bank']
+        dt = state['dt']
+        spr = DEFAULT_RECORD_LENGTH
+
+        t0 = time.perf_counter()
+        nbytes = 0
+        payload_rows = []
+
+        def _decode_call(n_rec, n_val, n_itv, ne_bound, itv, masks, vals,
+                         escs, packed, nix):
+            n_esc = int(np.count_nonzero(vals[:n_val] == -128))
+            if n_esc > ne_bound:
+                escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
+            m = expand_interval_meta(itv[:n_itv])
+            assert len(m[0]) == n_rec, (len(m[0]), n_rec)
+            rdata = decode_records(m[3], masks[:n_rec],
+                                   vals[:n_val], escs[:n_esc],
+                                   baseline)
+            if noise_bank is not None:
+                # re-apply the overlay the device stripped for transport
+                add_noise_host(rdata, m[1], m[2], m[3], m[6],
+                               nix[m[0]], noise_bank)
+            return m, rdata
+        # note: pushing decode to a worker thread was tried and measured
+        # SLOWER (GIL contention with the blocking device fetches);
+        # inline decode between collects wins on this stack
+        for n_rec, n_val, n_itv, ne_bound, tok, packed, nix in state['sizes']:
+            itv, masks, vals, escs = _collect_sliced(tok)
+            nbytes += (itv.nbytes + masks.nbytes + vals.nbytes + escs.nbytes)
+            m, rdata = _decode_call(n_rec, n_val, n_itv, ne_bound, itv,
+                                    masks, vals, escs, packed, nix)
+            payload_rows.append((n_rec, m, rdata))
+        self.diag.seconds['digitize_payload_fetch'] += \
+            time.perf_counter() - t0
+        self.diag.add('payload_bytes', nbytes)
 
         # phase 2: split per window and time-sort during the copy (records
         # arrive in natural window/channel/interval order; applying the
         # permutation here rides the record-array build, so the on-device
         # lexsort — measured ~2 s per bench chunk — is gone for free).
-        # All windows fill slices of ONE chunk-level array in stream order,
+        # All windows fill slices of ONE round-level array in stream order,
         # so the chunker's per-chunk concatenation collapses to a view
         # (first-touch page faults on fresh chunk-sized arrays cost seconds
         # on virtualized hosts — pay them once, here).
         t_split0 = time.perf_counter()
+        results = [None] * len(wins)
         splits = []
         win_counts = np.zeros(len(wins), np.int64)
-        for (batch, *_), (n_rec, m, rdata) in zip(calls, payload_rows):
+        for batch, (n_rec, m, rdata) in zip(state['batches'], payload_rows):
             # split records by window (ascending by design)
             bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
             win_counts[np.asarray(batch)] = np.diff(bounds)
             splits.append((batch, m, rdata, bounds))
         offsets = np.concatenate([[0], np.cumsum(win_counts)])
         chunk_arr = np.zeros(int(offsets[-1]), dtype=raw_record_dtype(spr))
-        for batch, (m_w, m_c, m_start, m_len, m_plen, m_reci), rdata, \
-                bounds in splits:
+        for batch, (m_w, m_c, m_start, m_len, m_plen, m_reci, _m_lch), \
+                rdata, bounds in splits:
             for bi, wi in enumerate(batch):
                 sl = slice(bounds[bi], bounds[bi + 1])
                 order = np.lexsort((m_c[sl], m_start[sl]))
