@@ -413,3 +413,111 @@ def test_s1_capacity_overflow_retry():
     np.testing.assert_array_equal(out['truth']['n_photon'],
                                   ref['truth']['n_photon'])
     assert len(out['raw_records']) > 0
+
+
+@pytest.mark.parametrize('noise', [False, True])
+def test_pipelined_super_batches_statistics(noise):
+    """The depth-N super-batch pipeline changes sim-batch composition and
+    hence the PRNG draws (PARITY.md deviation 5), so pipelined output is a
+    different — but statistically identical and fully deterministic — draw
+    from the same physics as a single-pass run."""
+    kw = dict(enable_noise=noise, enable_pmt_afterpulses=noise,
+              enable_electron_afterpulses=noise)
+    inst = kr_like_instructions(n=40, seed=3)
+    inst['time'] = np.repeat((np.arange(40) + 1) * 4_000_000, 2)
+
+    outs = {}
+    for depth in (1, 4):
+        c = default_config(**kw)
+        c['chunk_size'] = 1000
+        c['seed'] = 99
+        c['pipeline_depth'] = depth
+        c['pipeline_min_batch'] = 16
+        sim = Simulator(c)
+        outs[depth] = sim.get_arrays(inst)
+        # the depth-4 run must actually have split (this workload has
+        # 4 ms gaps, far above the split threshold)
+        batches = sim.sim.rawdata._split_super_batches(
+            sim.sim.rawdata._arrival_times(inst),
+            np.argsort(sim.sim.rawdata._arrival_times(inst), kind='stable'))
+        assert len(batches) == (1 if depth == 1 else 4)
+        if depth == 4:
+            # determinism: an identical pipelined rerun is bitwise equal
+            out2 = Simulator(c).get_arrays(inst)
+            np.testing.assert_array_equal(out2['raw_records'],
+                                          outs[4]['raw_records'])
+
+    a, b = outs[1], outs[4]
+    assert abs(len(a['raw_records']) - len(b['raw_records'])) \
+        < 0.05 * len(a['raw_records'])
+    # primary truth rows are identical in number and kind; afterpulse rows
+    # (types 4/6) fluctuate with the draws
+    for typ in (1, 2):
+        assert np.count_nonzero(a['truth']['type'] == typ) \
+            == np.count_nonzero(b['truth']['type'] == typ)
+    n4a = np.count_nonzero(a['truth']['type'] > 2)
+    n4b = np.count_nonzero(b['truth']['type'] > 2)
+    assert abs(n4a - n4b) <= 6 * np.sqrt(max(n4a, 1)) + 3
+    pa = a['truth']['n_photon'].sum()
+    pb = b['truth']['n_photon'].sum()
+    assert abs(pa - pb) < 6 * np.sqrt(pa)
+
+
+def test_digitize_deferral_matches_single_round():
+    """Flush-group deferral (the pipeline's framing invariant): digitizing a
+    fixed pulse set in two rounds split by safe_t must yield exactly the
+    windows and records of one unsplit round — photons are fixed, so this is
+    an exact (bitwise) check of grouping, arena rebuild and record packing
+    across rounds."""
+    import jax.numpy as jnp
+    from wfsim_tpu.pipeline.rawdata import RawDataTPU, _Pulse
+
+    c = default_config()
+    c['seed'] = 7
+    rext = int(c['right_raw_extension'])
+    rng = np.random.default_rng(11)
+
+    def make_pulses(rd):
+        """Three well-separated pulse groups in two photon buffers."""
+        pulses = []
+        for g, (base, bid_photons) in enumerate([
+                (0, 400), (3_000_000, 300), (9_000_000, 350)]):
+            n = bid_photons
+            t = np.sort(rng.integers(0, 20_000, n)).astype(np.int32)
+            ch = rng.integers(0, 64, n).astype(np.int32)
+            gain = rng.uniform(1e6, 3e6, n).astype(np.float32)
+            buf = dict(t=jnp.asarray(t), ch=jnp.asarray(ch),
+                       gain=jnp.asarray(gain))
+            bid = rd._append_buffer(buf, base)
+            pulses.append(_Pulse(
+                inst_idx=np.array([0]), buf=bid, buf_start=0, pool_count=n,
+                t_min=int(t.min()) + base, t_max=int(t.max()) + base,
+                truth_key=-1, event_number=g, base_time=base))
+        return pulses
+
+    def run(splits):
+        c2 = dict(c)
+        rd = RawDataTPU(c2)
+        rd._buffers, rd._buf_ctr, rd._pulses = {}, 0, []
+        rd._pipeline_live = True
+        rng_state = np.random.default_rng(11)
+        nonlocal rng
+        rng = rng_state
+        pulses = make_pulses(rd)
+        wins = []
+        lo = 0
+        for safe_t in splits:
+            rd._pulses.extend(pulses[lo:])
+            lo = len(pulses)
+            state = rd._dispatch_digitize(safe_t, rext, 10)
+            wins.extend(rd._collect_digitize(state))
+        return wins
+
+    single = run([np.inf])
+    # safe_t = 6 ms: groups 1+2 digitize in round 1, group 3 deferred
+    split = run([6_000_000, np.inf])
+    assert len(single) == len(split) and len(single) >= 3
+    for wa, wb in zip(single, split):
+        assert (wa['win_left'], wa['win_right'], wa['flush']) == \
+            (wb['win_left'], wb['win_right'], wb['flush'])
+        np.testing.assert_array_equal(wa['records'], wb['records'])
