@@ -165,19 +165,20 @@ def instruction_from_csv(filename) -> np.ndarray:
 
 def read_optical(config) -> ty.Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """GEANT4 optical-MC input: per-event photon channel/time lists from a
-    ROOT file (reference: strax_interface.py:285-333).  Requires ``uproot``.
+    ROOT file (reference: strax_interface.py:285-333).
+
+    Uses ``uproot`` when importable; otherwise falls back to the vendored
+    minimal pure-python reader (:mod:`wfsim_tpu.resources.rootio`), which
+    covers the flat GEANT4 ntuple layout these files use.
     """
     try:
-        import uproot
-    except ImportError as e:
-        raise ImportError(
-            'Optical input requires uproot (not installed in this '
-            'environment); provide instructions via CSV or arrays instead'
-        ) from e
+        import uproot as rootlib
+    except ImportError:
+        from ..resources import rootio as rootlib
 
     from ..utils import optical_adjustment
 
-    data = uproot.open(config['fax_file'])
+    data = rootlib.open(config['fax_file'])
     try:
         events = data.get('events')
     except AttributeError:
