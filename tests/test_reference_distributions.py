@@ -314,3 +314,41 @@ def test_ks_gas_excimer_delay():
                                 c['singlet_lifetime_gas'],
                                 c['triplet_lifetime_gas'])
     ks_ok(ours, oracle)
+
+
+def test_nest_v2_fallback_timing_ks():
+    """The tabulated 'nest' S1 timing sampler must reproduce the NEST v2
+    LXe photon-timing formulas it tabulates (field/LET-dependent
+    singlet-triplet ratios + 1/u-1 recombination-time kernel; constants
+    cited in resources/nest_tables.py): two-sample KS against a direct draw
+    from the formula implementation, per recoil class, at off-grid
+    (field, energy) points."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from scipy import stats as sps
+    from wfsim_tpu.resources.nest_tables import (
+        build_nest_timing_tables, _nest_photon_times)
+    from wfsim_tpu.models.s1 import _nest_table_delays
+
+    cfg = {'maximum_recombination_time': 10000.0}
+    tbl, flds, engs = build_nest_timing_tables(cfg, n_samples=100_000)
+    params = SimpleNamespace(nest_inv_cdf=jnp.asarray(tbl),
+                             nest_fields=jnp.asarray(flds),
+                             nest_energies=jnp.asarray(engs))
+    n = 60_000
+    rng = np.random.default_rng(123)
+    for cls, field, energy in ((0, 81.0, 9.3), (1, 81.0, 33.0),
+                               (2, 120.0, 150.0)):
+        t_tbl = np.asarray(_nest_table_delays(
+            params, jax.random.key(cls), jnp.full(n, cls, jnp.int32),
+            jnp.full(n, field, jnp.float32),
+            jnp.full(n, energy, jnp.float32), n)).astype(np.float64)
+        t_dir = np.clip(_nest_photon_times(cls, field, energy, n, rng),
+                        0, cfg['maximum_recombination_time'])
+        # table timings are truncated to integer ns by the device path;
+        # compare on the same footing
+        d, p = sps.ks_2samp(np.floor(t_tbl), np.floor(t_dir))
+        # grid + quantile discretization bounds the KS distance; 0.015 is
+        # ~5x the pure-sampling KS scale at this n
+        assert d < 0.015, (cls, d, p)

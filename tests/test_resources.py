@@ -119,7 +119,7 @@ def test_nest_table_convergence():
     import jax.numpy as jnp
     from types import SimpleNamespace
     from wfsim_tpu.resources.nest_tables import (
-        build_nest_timing_tables, _analytic_photon_times,
+        build_nest_timing_tables, _nest_photon_times,
         DEFAULT_FIELDS, DEFAULT_ENERGIES)
     from wfsim_tpu.models.s1 import _nest_table_delays
 
@@ -152,9 +152,9 @@ def test_nest_table_convergence():
                       tuple(np.geomspace(0.3, 300., 32)))
 
     rng = np.random.default_rng(99)
-    direct = stats(np.clip(_analytic_photon_times(0, field, energy, n, rng),
+    direct = stats(np.clip(_nest_photon_times(0, field, energy, n, rng),
                            0, cfg['maximum_recombination_time']))
-    sd = np.clip(_analytic_photon_times(0, field, energy, n, rng),
+    sd = np.clip(_nest_photon_times(0, field, energy, n, rng),
                  0, cfg['maximum_recombination_time']).std()
     iqr = direct[2]
 

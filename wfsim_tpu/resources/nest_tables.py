@@ -48,30 +48,77 @@ def recoil_class_index(recoil_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def _analytic_photon_times(cls: int, field: float, energy: float,
-                           n: int, rng) -> np.ndarray:
-    """NEST-shaped scintillation time sampler (fallback).
+# LXe excimer decay constants, NEST v2 (NEST.cpp PhotonTime; measured in
+# arXiv:1802.06162): singlet 3.27 ns, triplet 23.97 ns
+NEST_TAU_SINGLET = 3.27
+NEST_TAU_TRIPLET = 23.97
 
-    Singlet/triplet excimer decay plus a recombination tail whose time scale
-    falls with field — the same structure NEST v2 uses for LXe.
+
+def _exciton_photon_fraction(cls: int, field: float, energy: float) -> float:
+    """Fraction of emitted photons coming from direct excitons (the rest are
+    recombination photons), from the same quanta partition the instruction
+    generator uses (interface/instructions.py analytic_yields): photons =
+    n_ex + r * n_i, so f_ex = n_ex / photons.  Only the ER class uses it —
+    NEST gives NR/ion photons a zero recombination time, making the split
+    timing-irrelevant there."""
+    from ..interface.instructions import analytic_yields
+
+    n_ph, _n_el, n_ex = analytic_yields(energy, max(field, 1.0),
+                                        7 if cls == 0 else 0)
+    return min(n_ex / max(n_ph, 1), 1.0)
+
+
+def _nest_photon_times(cls: int, field: float, energy: float,
+                       n: int, rng) -> np.ndarray:
+    """NEST v2 LXe photon emission-time model (pure-python rendition of
+    nestpy's ``GetPhotonTimes``/``PhotonTime``; used when nestpy itself is
+    not importable).
+
+    Formulas and constants from the NEST v2 code (NEST.cpp PhotonTime) and
+    its references:
+
+    - excimer lifetimes: tau_singlet = 3.27 ns, tau_triplet = 23.97 ns
+      (arXiv:1802.06162);
+    - singlet/triplet photon ratio R:
+        NR:            R = 0.15 * E^0.15
+        ion (alpha):   R = 0.065 * E^0.416
+        ER, recombination photons: R = 0.069539 * E^-0.12244
+        ER, exciton photons:       R = 0.013885 * E^0.21086
+      (power-law fits compiled in arXiv:1802.06162);
+    - ER recombination time  tau_R = exp(-0.00900 * field) *
+      (7.3138 + 3.8431 * log10(E)) ns (field in V/cm, E in keV; NEST's fit
+      to the data of arXiv:1310.1117), zero for exciton photons and for
+      NR/ion tracks;
+    - per-photon delay = tau_R * (1/u - 1)   [u ~ U(0,1); the 1/u-1 kernel
+      is NEST's heavy-tailed recombination delay] + Exp(tau_singlet) or
+      Exp(tau_triplet) with probability R/(1+R).
+
+    The 'led' class keeps the reference's uniform window
+    (wfsim/core/s1.py:272-279) — LED light is not scintillation.
     """
-    t1, t3 = 3.1, 24.0
-    if cls == 1:      # NR: singlet-dominated, negligible recombination
-        fs, recomb_frac = 0.88, 0.05
-    elif cls == 2:    # alpha
-        fs, recomb_frac = 0.74, 0.02
-    elif cls == 3:    # LED: uniform pulse
+    if cls == 3:      # LED: uniform pulse window
         return rng.uniform(0, 100.0, n)
-    else:             # ER
-        fs = 0.15 + 0.04 * np.log10(max(energy, 0.3))
-        recomb_frac = 0.9 / (1 + (field / 50.0) ** 0.5)
-    tau_r = 3.5 / 0.18 * (1 / 20 + 0.41) * np.exp(-0.009 * field)
-    lifetime = np.where(rng.random(n) < fs, t1, t3)
-    times = rng.exponential(1.0, n) * lifetime
-    is_recomb = rng.random(n) < recomb_frac
-    u = rng.uniform(1e-9, 1, n)
-    reco = np.clip(tau_r * (-1 + 1 / u), 0, 1000)
-    return times + np.where(is_recomb, reco, 0.0)
+    E = max(float(energy), 1e-3)
+    if cls == 1:      # NR
+        ratio = np.full(n, 0.15 * E ** 0.15)
+        tau_r = np.zeros(n)
+    elif cls == 2:    # alpha / ion
+        ratio = np.full(n, 0.065 * E ** 0.416)
+        tau_r = np.zeros(n)
+    else:             # ER: exciton vs recombination photon split
+        f_ex = _exciton_photon_fraction(cls, field, E)
+        is_ex = rng.random(n) < f_ex
+        ratio = np.where(is_ex,
+                         0.013885 * E ** 0.21086,
+                         0.069539 * E ** -0.12244)
+        tau_er = max(np.exp(-0.00900 * field)
+                     * (7.3138 + 3.8431 * np.log10(E)), 0.0)
+        tau_r = np.where(is_ex, 0.0, tau_er)
+    u = rng.uniform(1e-12, 1.0, n)
+    delay = tau_r * (1.0 / u - 1.0)
+    singlet = rng.random(n) < ratio / (1.0 + ratio)
+    tau = np.where(singlet, NEST_TAU_SINGLET, NEST_TAU_TRIPLET)
+    return delay + rng.exponential(1.0, n) * tau
 
 
 def build_nest_timing_tables(config,
@@ -117,7 +164,7 @@ def build_nest_timing_tables(config,
                     times = np.asarray(calc.GetPhotonTimes(
                         itp, max(qq.photons, 100), qq.excitons, field, energy))
                 else:
-                    times = _analytic_photon_times(
+                    times = _nest_photon_times(
                         ci, field, energy, n_samples, rng)
                 times = np.clip(times, 0, max_t)
                 table[ci, fi, ei] = np.quantile(times, q)
