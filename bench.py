@@ -52,11 +52,20 @@ def _make_inst(n, amp_s1, amp_s2):
     return inst
 
 
-def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3):
+def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3,
+                realistic=False):
     from wfsim_tpu.config import default_config
     from wfsim_tpu.interface.simulator import Simulator
 
-    c = default_config()
+    if realistic:
+        # BASELINE config 3: production realism — real-noise overlay + PMT
+        # and electron afterpulses ON (the reference's own default config
+        # ships noise off, files/XENONnT_wfsim_config.json:14-16; this line
+        # measures the config production simulation actually runs with)
+        c = default_config(enable_noise=True, enable_pmt_afterpulses=True,
+                           enable_electron_afterpulses=True)
+    else:
+        c = default_config()
     c['chunk_size'] = 100
     c['seed'] = 1234
 
@@ -66,13 +75,20 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3):
 
     times, diags = [], []
     n_photons = 0
+    ap_photon_frac = 0.0
     for _ in range(repeats):
         sim = Simulator(c)
         t0 = time.perf_counter()
         out = sim.get_arrays(inst)
         times.append(time.perf_counter() - t0)
         diags.append(sim.sim.rawdata.diag)
-        n_photons = int(out['truth']['n_photon'].sum())
+        truth = out['truth']
+        n_photons = int(truth['n_photon'].sum())
+        if n_photons:
+            # photon fraction carried by afterpulse secondaries (types 4/6)
+            # — sizes the matching extra work in the CPU baseline
+            ap_photon_frac = float(
+                truth['n_photon'][truth['type'] > 2].sum() / n_photons)
     dt = statistics.median(times)
     diag = diags[int(np.argsort(times)[len(times) // 2])]
     phases = {k: round(v, 3) for k, v in sorted(diag.seconds.items())}
@@ -80,12 +96,22 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3):
     return dict(events_per_sec=n_events / dt,
                 photons_per_sec=n_photons / dt,
                 n_photons=n_photons,
+                ap_photon_frac=round(ap_photon_frac, 4),
                 run_seconds=[round(t, 3) for t in times],
                 device_phases=phases)
 
 
-def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed):
-    """Single-threaded numpy rendition of the reference's per-event chain."""
+def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
+                       ap_photon_frac=0.0):
+    """Single-threaded numpy rendition of the reference's per-event chain.
+
+    With ``realistic`` the per-event work grows by the terms the reference
+    runs with noise + afterpulses enabled (rawdata.py:398-458 + the AP
+    feedback): a real-noise overlay slice per active channel, the
+    high-energy copy rows' baseline/saturation/ZLE scans over the 801-row
+    grid, and one extra afterpulse pulse per event carrying
+    ``ap_photon_frac`` of the photons (matched to the fraction the TPU run
+    actually produced, so both sides do the same per-photon work)."""
     from wfsim_tpu.config import default_config
     from wfsim_tpu.ops.waveform import make_templates
 
@@ -93,10 +119,16 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed):
     rng = np.random.default_rng(seed)
     templates = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
     n_ch = 494
+    n_top = 253
     ly = (n_ch * 14e-5) / (1 + c['p_double_pe_emision']) * 0.12
     sc_gain = c['s2_secondary_sc_gain'] / (1 + c['p_double_pe_emision'])
     pattern = np.full(n_ch, 1.0 / n_ch)
     charge_grid = np.linspace(0, 2, 2001)
+    noise_bank = None
+    if realistic:
+        from wfsim_tpu.resources import synthetic as synth
+        noise_bank = synth.synthetic_noise(n_ch)
+        L_noise = noise_bank.shape[0]
 
     t0 = time.perf_counter()
     total_photons = 0
@@ -115,13 +147,24 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed):
         ch2 = rng.choice(n_ch, size=n_ph2, p=pattern)
         t2 = np.repeat(e_t, n_ph2_per_e).astype(np.int64) \
             + rng.exponential(30, n_ph2).astype(np.int64)
+        pulses = [(t, ch), (t2, ch2)]
+        if realistic and ap_photon_frac > 0:
+            # matched afterpulse load: one secondary pulse per event with
+            # the same photon fraction the device chain produced
+            n_ap = max(int(ap_photon_frac / max(1 - ap_photon_frac, 1e-6)
+                           * (n_ph + n_ph2)), 1)
+            ch3 = rng.choice(n_ch, size=n_ap, p=pattern)
+            t3 = (rng.uniform(6e5, 2e6, n_ap)).astype(np.int64) \
+                + rng.exponential(30, n_ap).astype(np.int64)
+            pulses.append((t3, ch3))
         # --- PMT response + waveform build per channel (the N1 hot loop) ---
-        for (tt, cc) in ((t, ch), (t2, ch2)):
+        for (tt, cc) in pulses:
             total_photons += len(tt)
             tt = tt + rng.normal(46, 9 / 2.35, len(tt)).astype(np.int64)
             gains = 2e6 * charge_grid[(rng.random(len(tt)) * 2000).astype(int)]
             order = np.argsort(cc, kind='stable')
             tt, cc, gains = tt[order], cc[order], gains[order]
+            nix = rng.integers(0, L_noise - 2048) if realistic else 0
             for channel in np.unique(cc):
                 m = cc == channel
                 ts = tt[m]
@@ -134,6 +177,10 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed):
                 for k in range(len(ts)):   # the reference's add_current loop
                     wave[s[k]:s[k] + 22] += templates[r[k]] * gs[k]
                 adc = -np.around(wave * c['current_2_adc']).astype(np.int64)
+                if realistic:
+                    # noise overlay (reference add_noise, rawdata.py:398-437)
+                    adc += noise_bank[(nix + np.arange(len(adc))) % L_noise,
+                                      channel]
                 adc += 16000
                 np.clip(adc, 0, None, out=adc)
                 # sequential ZLE scan + strax record packing
@@ -148,14 +195,25 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed):
                     nrec = -(-plen // 110)
                     np.pad(pulse, (0, nrec * 110 - plen),
                            'constant').reshape(-1, 110).astype(np.int16)
+                if realistic and channel < n_top:
+                    # high-energy copy row (reference rawdata.py:241-247):
+                    # deamped to zero by the int cast but still masked, so
+                    # it gets baseline, saturation and a ZLE scan
+                    adc_he = adc * 0
+                    adc_he += 16000
+                    np.clip(adc_he, 0, None, out=adc_he)
+                    (adc_he < 15984).any()
     dt = time.perf_counter() - t0
     return n_events / dt, total_photons / dt
 
 
-def measure_cpu_baseline(n_events=64, amp_s1=2000, amp_s2=300, n_runs=5):
+def measure_cpu_baseline(n_events=64, amp_s1=2000, amp_s2=300, n_runs=5,
+                         realistic=False, ap_photon_frac=0.0):
     """Median of n_runs pinned-seed runs (host load makes single runs noisy;
     best-of-N flatters whichever side got a quiet host)."""
-    ev, ph = zip(*[_cpu_baseline_once(n_events, amp_s1, amp_s2, seed=run)
+    ev, ph = zip(*[_cpu_baseline_once(n_events, amp_s1, amp_s2, seed=run,
+                                      realistic=realistic,
+                                      ap_photon_frac=ap_photon_frac)
                    for run in range(n_runs)])
     return dict(events_per_sec=statistics.median(ev),
                 photons_per_sec=statistics.median(ph),
@@ -210,8 +268,13 @@ def measure_addcurrent_kernel(n_photons=1 << 20, n_channels=494,
         W = run()
     _ = float(W[0, 0])          # blocks until the whole chain executed
     dt = max(time.perf_counter() - t0 - fetch_s, 1e-9)
+    # MXU accounting: the superposition is a (C*T/128, 1490) x (1490, 128)
+    # f32 matmul (ops/waveform.py _conv_templates_mxu) = 2*C*T*1490 FLOPs
+    flops_per_call = 2.0 * n_channels * n_samples * 1490
     return dict(photons_per_sec=n_photons * iters / dt,
                 n_photons=n_photons, iters=iters,
+                seconds_per_call=dt / iters,
+                mxu_tflops=flops_per_call * iters / dt / 1e12,
                 fetch_latency_s=round(fetch_s, 4))
 
 
@@ -241,11 +304,109 @@ def measure_addcurrent_ref_loop(n_photons=200_000, n_channels=494,
     return dict(photons_per_sec=n_photons / dt, n_photons=n_photons)
 
 
+def measure_wire_bandwidth(nbytes=24_000_000):
+    """Device->host wire probe (MB/s) so degraded-relay runs are
+    self-identifying: fetches a fresh ~24 MB device buffer through the same
+    sliced-copy path the pipeline uses."""
+    import jax.numpy as jnp
+    from wfsim_tpu.pipeline.rawdata import _fetch_in_slices
+
+    n = nbytes // 4
+    a = (jnp.arange(n, dtype=jnp.int32) * 3) // 7   # non-trivial, must compute
+    _ = int(a[0])                                   # block on compute
+    t0 = time.perf_counter()
+    out = _fetch_in_slices([a], target_bytes=16_000_000)[0]
+    dt = time.perf_counter() - t0
+    return dict(wire_mbps=out.nbytes / dt / 1e6)
+
+
+def measure_digitize_hbm(B=16, T=2048, n_cap=4096):
+    """Achieved HBM throughput of the (bandwidth-bound) digitize pass.
+
+    Times gather_digitize at bench-like shapes and divides a documented
+    byte-traffic model by the kernel time.  Model per (channel, sample)
+    cell, f32/int32 unless noted: phase-histogram write+read 80 B, the
+    banded-matmul input patch (1490/128 f32 per output sample) write+read
+    93 B, waveform write + ADC read 8 B, int grid + baseline/saturation
+    8 B, int16 cast + ZLE passes (mask, cumsum, bounds) ~14 B -> ~203 B.
+    A lower bound on true traffic (ignores XLA fusion wins and scratch),
+    so the reported GB/s is conservative."""
+    import jax
+    import jax.numpy as jnp
+    from wfsim_tpu.config import default_config
+    from wfsim_tpu.resources.loader import load_config
+    from wfsim_tpu.models.params import build_params, build_constants
+    from wfsim_tpu.pipeline.digitize import gather_digitize
+
+    config = default_config()
+    resource = load_config(config)
+    params = build_params(config, resource)
+    const = build_constants(config)
+    rng = np.random.default_rng(0)
+    npp = n_cap - 64
+    A = B * npp
+    arena_t = jnp.asarray(rng.integers(0, T * 10 - 300, A), jnp.int32)
+    arena_ch = jnp.asarray(rng.integers(0, const.n_tpc_pmts, A), jnp.int32)
+    arena_g = jnp.asarray(rng.uniform(1e6, 3e6, A), jnp.float32)
+    pieces = np.zeros((B, 4, 3), np.int32)
+    for b in range(B):
+        pieces[b, 0] = (b * npp, npp, 0)
+    pieces_d = jnp.asarray(pieces)
+    nix = jnp.zeros(B, jnp.int32)
+
+    def run():
+        return gather_digitize(params, const, arena_t, arena_ch, arena_g,
+                               pieces_d, nix, n_samples=T, n_pieces=4,
+                               n_cap=n_cap, max_intervals=64)
+
+    res = run()
+    _ = int(res['n_records'])    # warmup compile + fetch
+    fetch_s = min(_timed(lambda: int(run()['n_records']))[0]
+                  for _ in range(2))
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = run()
+    _ = int(res['n_records'])
+    dt = max((time.perf_counter() - t0 - fetch_s) / iters, 1e-9)
+    cells = B * const.n_tpc_pmts * T
+    model_bytes = cells * 203.0
+    return dict(digitize_gbps=model_bytes / dt / 1e9,
+                digitize_cells_per_sec=cells / dt,
+                digitize_seconds_per_call=round(dt, 5))
+
+
+#: bf16 matmul peak by TPU generation, TFLOP/s per chip (public specs);
+#: f32 HIGHEST-precision matmuls run well below these
+_PEAK_BF16 = {'v4': 275.0, 'v5 lite': 197.0, 'v5e': 197.0, 'v5p': 459.0,
+              'v6 lite': 918.0, 'v6e': 918.0}
+_PEAK_HBM_GBPS = {'v4': 1228.0, 'v5 lite': 819.0, 'v5e': 819.0,
+                  'v5p': 2765.0, 'v6 lite': 1640.0, 'v6e': 1640.0}
+
+
+def _device_peaks():
+    import jax
+    kind = str(jax.local_devices()[0].device_kind)
+    low = kind.lower()
+    peak_flops = peak_hbm = None
+    for k in _PEAK_BF16:
+        if k in low:
+            peak_flops = _PEAK_BF16[k]
+            peak_hbm = _PEAK_HBM_GBPS[k]
+    return kind, peak_flops, peak_hbm
+
+
 def main():
     tpu = measure_tpu()
+    tpu_real = measure_tpu(realistic=True)
     cpu = measure_cpu_baseline()
+    cpu_real = measure_cpu_baseline(
+        realistic=True, ap_photon_frac=tpu_real['ap_photon_frac'])
     kern = measure_addcurrent_kernel()
     ref_loop = measure_addcurrent_ref_loop()
+    wire = measure_wire_bandwidth()
+    hbm = measure_digitize_hbm()
+    kind, peak_flops, peak_hbm = _device_peaks()
     print(json.dumps({
         'metric': 'full S1+S2 events/sec (494ch, ~11k photons/event, '
                   'one TPU chip vs single-core numpy reference)',
@@ -258,12 +419,34 @@ def main():
         'cpu_baseline_runs': cpu['events_per_sec_runs'],
         'tpu_run_seconds': tpu['run_seconds'],
         'device_phases': tpu['device_phases'],
+        # co-equal REALISTIC line (BASELINE config 3: noise + PMT/electron
+        # afterpulses ON) with its own measured, matched-work CPU baseline
+        'realistic': {
+            'events_per_sec': round(tpu_real['events_per_sec'], 3),
+            'vs_baseline': round(tpu_real['events_per_sec']
+                                 / cpu_real['events_per_sec'], 2),
+            'events_per_sec_cpu_baseline':
+                round(cpu_real['events_per_sec'], 3),
+            'cpu_baseline_runs': cpu_real['events_per_sec_runs'],
+            'tpu_run_seconds': tpu_real['run_seconds'],
+            'ap_photon_frac': tpu_real['ap_photon_frac'],
+            'payload_bytes': tpu_real['device_phases']['payload_bytes'],
+        },
         'addcurrent_kernel_photons_per_sec':
             round(kern['photons_per_sec'], 1),
         'addcurrent_ref_loop_photons_per_sec':
             round(ref_loop['photons_per_sec'], 1),
         'addcurrent_kernel_vs_ref_loop':
             round(kern['photons_per_sec'] / ref_loop['photons_per_sec'], 1),
+        'utilization': {
+            'device_kind': kind,
+            'wire_mbps': round(wire['wire_mbps'], 1),
+            'digitize_hbm_gbps_modeled': round(hbm['digitize_gbps'], 1),
+            'digitize_cells_per_sec': round(hbm['digitize_cells_per_sec']),
+            'hbm_peak_gbps': peak_hbm,
+            'superposition_mxu_tflops': round(kern['mxu_tflops'], 2),
+            'mxu_peak_bf16_tflops': peak_flops,
+        },
     }))
 
 

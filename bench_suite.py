@@ -31,17 +31,25 @@ def make_inst(n, types=(1, 2), amps=(2000, 300), spacing=4_000_000, seed=7):
 
 
 def run_config(name, config, inst, rawdata_kwargs=None):
+    """Two consecutive timed runs per row (after a compile warmup); the row
+    reports the median and carries an explicit stable flag (runs within
+    20%) — one-run rows with excuses don't belong in end-of-round tables."""
     sim = Simulator(config)
     _ = sim.get_arrays(inst)           # warmup/compile
-    t0 = time.perf_counter()
-    sim = Simulator(config)
-    out = sim.get_arrays(inst)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):
+        sim = Simulator(config)
+        t0 = time.perf_counter()
+        out = sim.get_arrays(inst)
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     n_events = len(np.unique(inst['event_number']))
     n_ph = int(out['truth']['n_photon'].sum())
     print(json.dumps({
         'metric': name, 'value': round(n_events / dt, 3),
         'unit': 'events/s',
+        'runs_events_per_sec': [round(n_events / d, 1) for d in dts],
+        'stable': bool(max(dts) / min(dts) < 1.2),
         'photons_per_sec': round(n_ph / dt, 1),
         'records': int(len(out['raw_records'])),
     }), flush=True)
@@ -89,12 +97,17 @@ def main():
         return [o for o in sim(oinst)]
 
     run_optical()   # warmup
-    t0 = time.perf_counter()
-    outs = run_optical()
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = run_optical()
+        dts.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
     print(json.dumps({
         'metric': 'optical photon-list (nVeto)', 'value': round(n_ev / dt, 3),
         'unit': 'events/s',
+        'runs_events_per_sec': [round(n_ev / d, 1) for d in dts],
+        'stable': bool(max(dts) / min(dts) < 1.2),
         'photons_per_sec': round(n_ev * ppe / dt, 1),
         'records': int(sum(len(o['raw_records']) for o in outs)),
     }), flush=True)

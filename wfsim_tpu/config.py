@@ -236,7 +236,6 @@ def default_config(detector: str = 'XENONnT', **overrides) -> dict:
         'n_chunk': 10,
         'right_raw_extension': 100000,
         'per_pmt_truth': False,
-        'use_pallas_zle': False,
         # One truth row per s1/s2 instruction — this IS the reference default
         # (`config.get('save_full_truth', True)`, rawdata.py:42); False gives
         # the grouped mode (S1s within 100 ns / S2s within 2 mm summarized,

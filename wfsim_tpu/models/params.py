@@ -191,7 +191,6 @@ class SimConstants:
     ele_ap_n: float
     drift_velocity_scaling: float
     per_pmt_truth: bool
-    use_pallas_zle: bool
     # derived recoil-model constants (reference computes these on the fly,
     # wfsim/core/s1.py:281-327)
     er_primary_excimer_fraction: float
@@ -316,7 +315,6 @@ def build_constants(config) -> SimConstants:
         ele_ap_n=float(config.get('_ele_ap_n', 0.0)),
         drift_velocity_scaling=float(config.get('_drift_velocity_scaling', 1.0)),
         per_pmt_truth=bool(config.get('per_pmt_truth', False)),
-        use_pallas_zle=bool(config.get('use_pallas_zle', True)),
         er_primary_excimer_fraction=excfrac,
         er_recombination_time=reco_time,
     )
