@@ -6,11 +6,14 @@ import os
 # NOTE: this environment registers the 'axon' TPU backend from
 # sitecustomize.py at interpreter start, so env vars set here are too late —
 # the platform must be overridden through jax.config before first backend use.
-# separate compile cache for the CPU test platform (TPU-built AOT entries
-# spam feature-mismatch warnings when loaded into CPU processes)
-os.environ.setdefault(
-    'JAX_COMPILATION_CACHE_DIR',
-    os.path.expanduser('~/.cache/wfsim_tpu_xla_cpu'))
+# NO persistent compile cache on the CPU test platform: XLA:CPU AOT
+# (de)serialization is unreliable here — entries cached on another machine
+# type SIGILL on load, and in long suite processes even cache WRITES were
+# observed to segfault inside put_executable_and_time.  CPU compiles are
+# cheap; the cache only pays off for the TPU backend (wfsim_tpu/__init__.py
+# still enables it there, keyed by the host CPU signature).
+os.environ['WFSIM_TPU_NO_COMPILE_CACHE'] = '1'
+os.environ.pop('JAX_COMPILATION_CACHE_DIR', None)
 
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:

@@ -28,11 +28,33 @@ if not _os.environ.get('WFSIM_TPU_NO_MALLOPT'):
 
 # Persistent XLA compilation cache: the pipeline compiles one program per
 # (photon-capacity, window-length) bucket; caching makes every process after
-# the first start warm.  Opt out with WFSIM_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get('WFSIM_TPU_NO_COMPILE_CACHE'):
-    _cache_dir = _os.environ.get(
-        'JAX_COMPILATION_CACHE_DIR',
-        _os.path.expanduser('~/.cache/wfsim_tpu_xla'))
+# the first start warm.  The directory is keyed by the host CPU's ISA
+# signature: XLA:CPU stores AOT executables specialized to the build
+# machine's features, and loading one on a host without those features
+# SIGILLs (observed as a segfault inside get_executable_and_time when this
+# repo's cache moved between machine types).  Opt out with
+# WFSIM_TPU_NO_COMPILE_CACHE=1.  Explicit-CPU runs skip it entirely:
+# XLA:CPU AOT (de)serialization is unreliable on this host class (SIGILL on
+# cross-machine entries, observed write-side segfaults) and CPU compiles
+# are cheap anyway.
+if not _os.environ.get('WFSIM_TPU_NO_COMPILE_CACHE') \
+        and _os.environ.get('JAX_PLATFORMS', '').strip().lower() != 'cpu' \
+        and _os.environ.get('JAX_PLATFORM_NAME', '').strip().lower() != 'cpu':
+    _cache_dir = _os.environ.get('JAX_COMPILATION_CACHE_DIR')
+    if not _cache_dir:
+        try:
+            import hashlib as _hashlib
+            with open('/proc/cpuinfo') as _fh:
+                for _line in _fh:
+                    if _line.startswith('flags'):
+                        _sig = _hashlib.sha1(
+                            _line.encode()).hexdigest()[:8]
+                        break
+                else:
+                    _sig = 'nocpu'
+        except Exception:  # pragma: no cover - non-linux
+            _sig = 'nocpu'
+        _cache_dir = _os.path.expanduser(f'~/.cache/wfsim_tpu_xla_{_sig}')
     try:
         import jax as _jax
         _jax.config.update('jax_compilation_cache_dir', _cache_dir)
