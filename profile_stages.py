@@ -74,8 +74,8 @@ def main():
         n_cap = 1 << int(np.ceil(np.log2(npp + 1)))
         res = timeit(f'gather_digitize B={B} T={T} n={npp}',
                      gather_digitize, params, const,
-                     arena_t, arena_ch, arena_g, jnp.asarray(pieces), key,
-                     n_samples=T, n_pieces=4, n_cap=n_cap, max_intervals=64)
+                     arena_t, arena_ch, arena_g, jnp.asarray(pieces),
+                     jnp.zeros(B, jnp.int32), n_samples=T, n_pieces=4, n_cap=n_cap, max_intervals=64)
         n_rec = int(res['n_records'])
         n_val = int(res['n_values'])
         mr = 1 << int(np.ceil(np.log2(max(n_rec, 2))))
