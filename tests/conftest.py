@@ -24,3 +24,23 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 assert jax.default_backend() == 'cpu'
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _bounded_jit_code_maps():
+    """XLA:CPU keeps ~3-5 small anonymous mappings of ORC-JIT code per
+    compiled executable alive for the life of the process. A full suite run
+    compiles thousands of (function, shape, sharding) programs on the
+    8-virtual-device backend and crosses vm.max_map_count (65530 — observed
+    ~50k mappings, >16k of them r-xp JIT segments, right before the crash),
+    after which mmap failures surface as segfaults inside the XLA compiler
+    or the compile-cache (de)serializers. Dropping the executable caches
+    after each test module keeps the mapping count bounded; CPU recompiles
+    of the few cross-module shared shapes are cheap."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
