@@ -361,8 +361,9 @@ def measure_digitize_hbm(B=16, T=2048, n_cap=4096):
 
     res = run()
     _ = int(res['n_records'])    # warmup compile + fetch
-    fetch_s = min(_timed(lambda: int(run()['n_records']))[0]
-                  for _ in range(2))
+    # fetch-only latency: tiny scalar reads of the already-computed result
+    fetch_s = min(_timed(lambda: int(res['n_intervals']))[0],
+                  _timed(lambda: int(res['n_values']))[0])
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -430,7 +431,7 @@ def main():
             'cpu_baseline_runs': cpu_real['events_per_sec_runs'],
             'tpu_run_seconds': tpu_real['run_seconds'],
             'ap_photon_frac': tpu_real['ap_photon_frac'],
-            'payload_bytes': tpu_real['device_phases']['payload_bytes'],
+            'device_phases': tpu_real['device_phases'],
         },
         'addcurrent_kernel_photons_per_sec':
             round(kern['photons_per_sec'], 1),

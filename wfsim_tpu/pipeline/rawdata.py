@@ -743,17 +743,13 @@ class RawDataTPU:
             truth_rows: ty.List[dict] = []
             gen_sink: ty.List[np.ndarray] = []
 
-            # --- simulate primaries in arrival-ordered batches per chain ---
+            # --- simulate primaries in arrival-ordered batches per chain;
+            # the previous round's payload streams over the wire the whole
+            # time (its blocking collect comes after this round's digitize
+            # dispatch, so even the counts wait overlaps transfers) ---
             with self.diag.phase('simulate'):
                 jobs = self._sim_dispatch(instructions, order_k,
                                           want_gen=True)
-            if pending is not None:
-                # previous round's payload streams over the wire while the
-                # sim kernels just dispatched execute on the device
-                with self.diag.phase('digitize'):
-                    yield from self._collect_digitize(pending)
-                pending = None
-            with self.diag.phase('simulate'):
                 self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
 
             # --- electron-afterpulse feedback (one step, ref rawdata.py:133-140) ---
@@ -774,7 +770,10 @@ class RawDataTPU:
 
             # --- digitization windows (flush-on-gap, ref rawdata.py:96-98) ---
             with self.diag.phase('digitize'):
-                pending = self._dispatch_digitize(safe_t, rext, dt)
+                nxt = self._dispatch_digitize(safe_t, rext, dt)
+                if pending is not None:
+                    yield from self._collect_digitize(pending)
+                pending = nxt
         if pending is not None:
             with self.diag.phase('digitize'):
                 yield from self._collect_digitize(pending)
@@ -924,17 +923,18 @@ class RawDataTPU:
         # in sub-windows when it contains internal gaps so large that no ZLE
         # interval, pad or holdoff bridge can cross them.  This collapses
         # the grid cost of drift-dominated S1+S2 windows (mostly empty span
-        # between the pulses) by ~4x.  Only in the no-noise slim regime:
-        # with noise on, the per-channel noise overlay spans the unsplit
-        # channel window, so splitting would change where noise lands.
+        # between the pulses) by ~4x.  With noise on this is fine too: the
+        # bank offset is host-drawn PER WINDOW (PARITY.md deviation 3), so
+        # each sub-window just gets its own independent noise alignment —
+        # same policy, different draw.  Only an active HE deamp factor
+        # (deamp_int != 0, exotic) keeps the unsplit framing.
         # Deviation note: PARITY.md "Documented deviations" 1.
         holdoff_w = 2 * self.const.trigger_window + 1
-        slim = (not self.const.enable_noise
-                and self.const.high_energy_deamp_int == 0)
         split_gap = self.config.get('split_digitize_gap_ns')
         if split_gap is None:
             split_gap = (max(4 * (margin_l + margin_r + holdoff_w) * dt,
-                             20_000) if slim else 0)
+                             20_000)
+                         if self.const.high_energy_deamp_int == 0 else 0)
 
         groups: ty.List[ty.List[_Pulse]] = []
         cur = [pulses[0]]
