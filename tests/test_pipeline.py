@@ -509,7 +509,7 @@ def test_digitize_deferral_matches_single_round():
         for safe_t in splits:
             rd._pulses.extend(pulses[lo:])
             lo = len(pulses)
-            state = rd._dispatch_digitize(safe_t, rext, 10)
+            state = rd._pack_digitize(rd._dispatch_digitize(safe_t, rext, 10))
             wins.extend(rd._collect_digitize(state))
         return wins
 

@@ -769,11 +769,16 @@ class RawDataTPU:
             self._drain_truth(truth_buffer, truth_rows)
 
             # --- digitization windows (flush-on-gap, ref rawdata.py:96-98) ---
+            # Order matters: round k's digitize kernels are dispatched
+            # FIRST, then round k-1's payload is collected + decoded (host
+            # work that hides round k's digitize compute and the counts
+            # RTT), and only then does round k block on its record counts
+            # and dispatch the exact-size pack.
             with self.diag.phase('digitize'):
-                nxt = self._dispatch_digitize(safe_t, rext, dt)
+                pre = self._dispatch_digitize(safe_t, rext, dt)
                 if pending is not None:
                     yield from self._collect_digitize(pending)
-                pending = nxt
+                pending = self._pack_digitize(pre)
         if pending is not None:
             with self.diag.phase('digitize'):
                 yield from self._collect_digitize(pending)
@@ -894,10 +899,9 @@ class RawDataTPU:
             truth_buffer[ix]['fill'] = True
 
     def _dispatch_digitize(self, safe_t, rext, dt):
-        """Group pending pulses into digitization windows and dispatch all
-        device work for them (flush-on-gap grouping, batched digitize+ZLE
-        kernels, exact-size record packing, async payload copies); returns
-        the round state consumed by :meth:`_collect_digitize`.
+        """Group pending pulses into digitization windows and dispatch the
+        batched digitize+ZLE kernels for them (flush-on-gap grouping);
+        returns the pre-pack state consumed by :meth:`_pack_digitize`.
 
         Flush groups that could still absorb a pulse arriving at/after
         ``safe_t`` (within ``rext`` of the group end) are NOT digitized:
@@ -905,7 +909,7 @@ class RawDataTPU:
         windows exactly like a single-pass run (groups are time-ordered, so
         the deferred set is always a suffix and yields stay time-sorted).
         """
-        from .digitize import gather_digitize, pack_records_encoded
+        from .digitize import gather_digitize
 
         if not self._pulses:
             return None
@@ -1097,7 +1101,33 @@ class RawDataTPU:
         self.diag.add('photons',
                       sum(p.pool_count for grp in groups for p in grp))
         self.diag.add('digitize_calls', len(calls))
+        # start the (tiny) stacked record-counts copy async right away: it
+        # completes as soon as the digitize kernels do, so by the time
+        # _pack_digitize blocks on it the RTT has already been paid behind
+        # the previous round's payload stream
+        counts_tok = _start_sliced_copies([jnp.stack(
+            [jnp.stack([res['n_records'], res['n_values'],
+                        res['n_intervals']])
+             for *_, res in calls])])
         self.diag.seconds['digitize_dispatch'] += time.perf_counter() - t_disp0
+        return dict(wins=wins, calls=calls, max_itv=max_itv, dt=dt,
+                    noise_on=noise_on, counts_tok=counts_tok)
+
+    def _pack_digitize(self, pre):
+        """Block on a dispatched digitize round's record counts, dispatch the
+        exact-size pack kernels and start the async payload copies; returns
+        the round state consumed by :meth:`_collect_digitize`.
+
+        Runs AFTER the previous round's payload collect (see iter_windows),
+        so the counts wait — digitize compute + one tunnel round trip —
+        overlaps that collect's wire streaming and host-side decode."""
+        from .digitize import pack_records_encoded
+
+        if pre is None:
+            return None
+        wins, calls, max_itv, dt = (pre['wins'], pre['calls'],
+                                    pre['max_itv'], pre['dt'])
+        noise_on = pre['noise_on']
 
         # phase 1b: ONE tiny fetch of all record counts (the trailer values),
         # then slice each call's meta+payload ON DEVICE to its actual size
@@ -1105,10 +1135,7 @@ class RawDataTPU:
         # _collect_digitize, typically one super-batch later, so the
         # transfers stream while the next batch's sim kernels execute
         t0 = time.perf_counter()
-        counts_h = np.asarray(jnp.stack(
-            [jnp.stack([res['n_records'], res['n_values'],
-                        res['n_intervals']])
-             for *_, res in calls]))
+        counts_h = _collect_sliced(pre['counts_tok'])[0]
         self.diag.seconds['digitize_counts_fetch'] += time.perf_counter() - t0
         t0 = time.perf_counter()
         baseline = int(self.const.digitizer_reference_baseline)
