@@ -152,6 +152,33 @@ def test_electron_afterpulse_feedback_end_to_end():
     assert n_pulses > 0
 
 
+def test_pi_el_instructions_int64_base_time():
+    """Secondary-instruction synthesis must survive absolute bases past
+    int32 (super-batches late in a long run have base_time > 2.1 s; the
+    candidate photon times are int32 window-relative offsets)."""
+    from wfsim_tpu.dtypes import instruction_dtype
+    from wfsim_tpu.models.afterpulse import (generate_pi_el_instructions,
+                                             generate_pe_el_instructions)
+    c = default_config(enable_electron_afterpulses=True,
+                       enable_gate_afterpulses=True)
+    resource = load_config(c)
+    rng = np.random.default_rng(5)
+    src = np.zeros(2, dtype=instruction_dtype)
+    src['type'] = 2
+    src['amp'] = 1000
+    base_time = 2_740_000_000          # > 2**31 - 1
+    counts = np.array([50_000, 50_000])
+    cand = rng.integers(0, 1_000_000, (2, 16)).astype(np.int32)
+    pi = generate_pi_el_instructions(c, resource, rng, counts, cand,
+                                     src, base_time)
+    pe = generate_pe_el_instructions(c, rng, counts, cand, src, base_time)
+    assert len(pi) > 0 and len(pe) > 0
+    for new in (pi, pe):
+        assert new['time'].dtype == np.int64
+        assert (np.abs(new['time'].astype(np.float64)
+                       - base_time) < 5e9).all()
+
+
 def test_noise_and_baseline():
     from wfsim_tpu.pipeline.digitize import digitize_window
     c, res, params, const = setup_models(enable_noise=True)

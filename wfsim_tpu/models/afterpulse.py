@@ -178,7 +178,10 @@ def generate_pi_el_instructions(config, resource, rng, counts, t_zero_cand,
         if n_instruction == 0:
             continue
         cand = t_zero_cand[i]
-        t_zeros = base_time + cand[rng.integers(0, len(cand), n_instruction)]
+        # cand holds int32 window-relative times; promote before adding the
+        # int64 absolute base (spans past ~2.1 s overflow int32)
+        t_zeros = base_time + cand[rng.integers(
+            0, len(cand), n_instruction)].astype(np.int64)
         new = np.repeat(source_inst[i:i + 1], n_instruction)
         new['type'] = 4
         new['time'] = t_zeros - config['drift_time_gate']
@@ -210,7 +213,8 @@ def generate_pe_el_instructions(config, rng, counts, t_zero_cand,
             rng.normal(config['photoelectric_t_center'] + config['drift_time_gate'],
                        config['photoelectric_t_spread'], n_electron), 0, None)
         cand = t_zero_cand[i]
-        t_zeros = base_time + cand[rng.integers(0, len(cand), n_electron)]
+        t_zeros = base_time + cand[rng.integers(
+            0, len(cand), n_electron)].astype(np.int64)
         new = np.repeat(source_inst[i:i + 1], n_electron)
         new['type'] = 6
         new['time'] = t_zeros + config['drift_time_gate']
