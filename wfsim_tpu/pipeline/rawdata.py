@@ -750,8 +750,26 @@ class RawDataTPU:
 
         batches = self._split_super_batches(arrival, order)
         self._pipeline_live = len(batches) > 1
+
+        # Pre-dispatch EVERY super-batch's demand pre-pass and fetch all
+        # counts in one stacked transfer: the demand kernels land in the
+        # device queue before any heavy sim/digitize work, so this single
+        # sync costs one round trip — per-super-batch demand fetches used
+        # to block behind the previous round's whole digitize compute.
+        preps_all = demands = None
+        if self._use_demand_prepass():
+            prep_pairs = [self._sim_prepare(instructions, order_k)
+                          for order_k, _ in batches]
+            t0 = time.perf_counter()
+            flat = [h for _, hs in prep_pairs for h in hs]
+            demands = (np.asarray(jnp.stack(flat)) if flat
+                       else np.zeros(0, np.int32))
+            self.diag.seconds['sim_demand_fetch'] += time.perf_counter() - t0
+            preps_all = [p for p, _ in prep_pairs]
+
         pending = None
-        for order_k, safe_t in batches:
+        di = 0
+        for k, (order_k, safe_t) in enumerate(batches):
             truth_rows: ty.List[dict] = []
             gen_sink: ty.List[np.ndarray] = []
 
@@ -760,8 +778,14 @@ class RawDataTPU:
             # time (its blocking collect comes after this round's digitize
             # dispatch, so even the counts wait overlaps transfers) ---
             with self.diag.phase('simulate'):
-                jobs = self._sim_dispatch(instructions, order_k,
-                                          want_gen=True)
+                if preps_all is not None:
+                    preps = preps_all[k]
+                    jobs = self._sim_dispatch_prepared(
+                        preps, demands[di:di + len(preps)], want_gen=True)
+                    di += len(preps)
+                else:
+                    jobs = self._sim_dispatch(instructions, order_k,
+                                              want_gen=True)
                 self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
 
             # --- electron-afterpulse feedback (one step, ref rawdata.py:133-140) ---
@@ -826,12 +850,10 @@ class RawDataTPU:
         batches.append((order[start:], np.inf))
         return batches
 
-    def _sim_dispatch(self, instructions, order, want_gen):
-        """Batch same-chain instructions in arrival order and dispatch all
-        device work (demand pre-pass + full kernels); returns job handles
-        for :meth:`_sim_finalize`.  Nothing blocks on sim compute — only the
-        tiny demand-count fetch syncs, so a caller can overlap the queued
-        kernels with wire transfers."""
+    def _sim_batch_list(self, instructions, order):
+        """Cut arrival-ordered instructions into same-chain device batches
+        bounded by instruction count, summed amplitude and int32 time span;
+        returns [(kind, index_array), ...]."""
         MAX_BATCH_INST = 1024
         MAX_BATCH_AMP = {'s1': 3_000_000, 's2': 200_000}
         MAX_SPAN_NS = int(15e8)  # int32 time offsets allow up to ~2.1e9 ns
@@ -845,7 +867,6 @@ class RawDataTPU:
                 continue
             batches[k].append(i)
 
-        t_d0 = time.perf_counter()
         batch_list = []
         for kind, idxs in batches.items():
             if not idxs:
@@ -867,26 +888,53 @@ class RawDataTPU:
                 cur_amp += amps[j]
             if cur:
                 batch_list.append((kind, np.asarray(cur)))
+        return batch_list
 
-        if type(self)._dispatch_type_batch is RawDataTPU._dispatch_type_batch:
-            # production path: queue the exact photon-demand pre-pass for
-            # every batch, fetch all demands in one stacked transfer, then
-            # dispatch the full kernels at exact capacities (the worst-case
-            # gain bound oversized the S2 photon axis 4-5x)
-            preps = [self._prepare_type_batch(instructions, idx, kind)
-                     for kind, idx in batch_list]
-            demands_d = [self._dispatch_demand(p) for p in preps]
+    def _use_demand_prepass(self):
+        return (type(self)._dispatch_type_batch
+                is RawDataTPU._dispatch_type_batch)
+
+    def _sim_prepare(self, instructions, order):
+        """Host-side prep + demand-kernel dispatch for one super-batch; the
+        (tiny) demand kernels are queued immediately, so a caller preparing
+        ALL super-batches up front can fetch every demand count in one
+        stacked transfer before any heavy kernel sits in the device queue.
+        Returns (preps, demand_handles)."""
+        t_d0 = time.perf_counter()
+        batch_list = self._sim_batch_list(instructions, order)
+        preps = [self._prepare_type_batch(instructions, idx, kind)
+                 for kind, idx in batch_list]
+        demands_d = [self._dispatch_demand(p) for p in preps]
+        self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
+        return preps, demands_d
+
+    def _sim_dispatch_prepared(self, preps, demands, want_gen):
+        """Dispatch the full sim kernels for prepared batches at the exact
+        capacities the demand pre-pass measured (the worst-case gain bound
+        oversized the S2 photon axis 4-5x)."""
+        t_d0 = time.perf_counter()
+        jobs = [self._dispatch_prepared(p, want_gen, _bucket(int(d) + 64))
+                for p, d in zip(preps, demands)]
+        self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
+        return jobs
+
+    def _sim_dispatch(self, instructions, order, want_gen):
+        """Batch same-chain instructions in arrival order and dispatch all
+        device work (demand pre-pass + full kernels); returns job handles
+        for :meth:`_sim_finalize`.  Nothing blocks on sim compute — only the
+        tiny demand-count fetch syncs, so a caller can overlap the queued
+        kernels with wire transfers."""
+        if self._use_demand_prepass():
+            preps, demands_d = self._sim_prepare(instructions, order)
             demands = (np.asarray(jnp.stack(demands_d)) if demands_d
                        else np.zeros(0, np.int32))
-            jobs = [self._dispatch_prepared(
-                        p, want_gen, _bucket(int(d) + 64))
-                    for p, d in zip(preps, demands)]
-        else:
-            # subclass with a custom dispatch (e.g. optical photons-from-
-            # file): legacy per-batch path with conservative capacities
-            jobs = [self._dispatch_type_batch(instructions, idx, kind,
-                                              want_gen)
-                    for kind, idx in batch_list]
+            return self._sim_dispatch_prepared(preps, demands, want_gen)
+        # subclass with a custom dispatch (e.g. optical photons-from-
+        # file): legacy per-batch path with conservative capacities
+        t_d0 = time.perf_counter()
+        batch_list = self._sim_batch_list(instructions, order)
+        jobs = [self._dispatch_type_batch(instructions, idx, kind, want_gen)
+                for kind, idx in batch_list]
         self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
         return jobs
 
