@@ -102,7 +102,7 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3,
 
 
 def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
-                       ap_photon_frac=0.0):
+                       ap_photon_frac=0.0, with_s1=True, with_s2=True):
     """Single-threaded numpy rendition of the reference's per-event chain.
 
     With ``realistic`` the per-event work grows by the terms the reference
@@ -111,7 +111,9 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
     high-energy copy rows' baseline/saturation/ZLE scans over the 801-row
     grid, and one extra afterpulse pulse per event carrying
     ``ap_photon_frac`` of the photons (matched to the fraction the TPU run
-    actually produced, so both sides do the same per-photon work)."""
+    actually produced, so both sides do the same per-photon work).
+    ``with_s1``/``with_s2`` select the signal content for the S1-only /
+    S2-only BASELINE configs."""
     from wfsim_tpu.config import default_config
     from wfsim_tpu.ops.waveform import make_templates
 
@@ -133,21 +135,26 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
     t0 = time.perf_counter()
     total_photons = 0
     for _ in range(n_events):
-        # --- S1 ---
-        n_ph = rng.binomial(amp_s1, ly)
-        ch = rng.choice(n_ch, size=n_ph, p=pattern)
-        t = (rng.exponential(c['s1_decay_time'], n_ph)
-             + rng.normal(0, c['s1_decay_spread'], n_ph)).astype(np.int64)
-        # --- S2 ---
-        n_e = rng.binomial(amp_s2, 0.6)
-        e_t = (rng.exponential(c['electron_trapping_time'], n_e)
-               + rng.normal(4e5, 1e3, n_e))
-        n_ph2_per_e = rng.poisson(sc_gain, n_e)
-        n_ph2 = int(n_ph2_per_e.sum())
-        ch2 = rng.choice(n_ch, size=n_ph2, p=pattern)
-        t2 = np.repeat(e_t, n_ph2_per_e).astype(np.int64) \
-            + rng.exponential(30, n_ph2).astype(np.int64)
-        pulses = [(t, ch), (t2, ch2)]
+        pulses = []
+        n_ph = n_ph2 = 0
+        if with_s1:
+            # --- S1 ---
+            n_ph = rng.binomial(amp_s1, ly)
+            ch = rng.choice(n_ch, size=n_ph, p=pattern)
+            t = (rng.exponential(c['s1_decay_time'], n_ph)
+                 + rng.normal(0, c['s1_decay_spread'], n_ph)).astype(np.int64)
+            pulses.append((t, ch))
+        if with_s2:
+            # --- S2 ---
+            n_e = rng.binomial(amp_s2, 0.6)
+            e_t = (rng.exponential(c['electron_trapping_time'], n_e)
+                   + rng.normal(4e5, 1e3, n_e))
+            n_ph2_per_e = rng.poisson(sc_gain, n_e)
+            n_ph2 = int(n_ph2_per_e.sum())
+            ch2 = rng.choice(n_ch, size=n_ph2, p=pattern)
+            t2 = np.repeat(e_t, n_ph2_per_e).astype(np.int64) \
+                + rng.exponential(30, n_ph2).astype(np.int64)
+            pulses.append((t2, ch2))
         if realistic and ap_photon_frac > 0:
             # matched afterpulse load: one secondary pulse per event with
             # the same photon fraction the device chain produced
@@ -207,13 +214,78 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
     return n_events / dt, total_photons / dt
 
 
+def _cpu_optical_once(n_events, ppe, n_channels, seed):
+    """Single-threaded numpy rendition of the reference's OPTICAL per-event
+    chain (RawDataOptical.sim_primary, rawdata.py:475-496): photons arrive
+    as (channel, time) lists from file, so the per-event work is the PMT
+    response (TTS + SPE gains) plus the add_current loop and the sequential
+    ZLE scan — no S1/S2 physics."""
+    from wfsim_tpu.config import default_config
+    from wfsim_tpu.ops.waveform import make_templates
+
+    c = default_config()
+    rng = np.random.default_rng(seed)
+    templates = make_templates(c['pe_pulse_ts'], c['pe_pulse_ys'])
+    charge_grid = np.linspace(0, 2, 2001)
+    # pre-drawn photon lists (input data, not timed work)
+    cc_all = rng.integers(0, n_channels, (n_events, ppe))
+    tt_all = rng.integers(0, 400, (n_events, ppe)).astype(np.int64)
+
+    t0 = time.perf_counter()
+    total_photons = 0
+    for ev in range(n_events):
+        tt, cc = tt_all[ev], cc_all[ev]
+        total_photons += len(tt)
+        tt = tt + rng.normal(46, 9 / 2.35, len(tt)).astype(np.int64)
+        gains = 2e6 * charge_grid[(rng.random(len(tt)) * 2000).astype(int)]
+        order = np.argsort(cc, kind='stable')
+        tt, cc, gains = tt[order], cc[order], gains[order]
+        for channel in np.unique(cc):
+            m = cc == channel
+            ts = tt[m]
+            gs = gains[m]
+            left = int(ts.min() // 10) - 52
+            right = int(ts.max() // 10) + 70
+            wave = np.zeros(right - left + 1)
+            s = (ts // 10).astype(int) - left
+            r = (ts % 10).astype(int)
+            for k in range(len(ts)):   # the reference's add_current loop
+                wave[s[k]:s[k] + 22] += templates[r[k]] * gs[k]
+            adc = -np.around(wave * c['current_2_adc']).astype(np.int64)
+            adc += 16000
+            np.clip(adc, 0, None, out=adc)
+            below = adc < 15984
+            if below.any():
+                lo = max(int(np.argmax(below)) - 50, 0)
+                hi = min(len(adc) - 1,
+                         int(len(below) - np.argmax(below[::-1])) + 50)
+                pulse = adc[lo:hi + 1]
+                plen = len(pulse)
+                nrec = -(-plen // 110)
+                np.pad(pulse, (0, nrec * 110 - plen),
+                       'constant').reshape(-1, 110).astype(np.int16)
+    dt = time.perf_counter() - t0
+    return n_events / dt, total_photons / dt
+
+
+def measure_cpu_optical_baseline(n_events=64, ppe=300, n_channels=120,
+                                 n_runs=3):
+    ev, ph = zip(*[_cpu_optical_once(n_events, ppe, n_channels, seed=run)
+                   for run in range(n_runs)])
+    return dict(events_per_sec=statistics.median(ev),
+                photons_per_sec=statistics.median(ph),
+                events_per_sec_runs=[round(x, 2) for x in ev])
+
+
 def measure_cpu_baseline(n_events=64, amp_s1=2000, amp_s2=300, n_runs=5,
-                         realistic=False, ap_photon_frac=0.0):
+                         realistic=False, ap_photon_frac=0.0,
+                         with_s1=True, with_s2=True):
     """Median of n_runs pinned-seed runs (host load makes single runs noisy;
     best-of-N flatters whichever side got a quiet host)."""
     ev, ph = zip(*[_cpu_baseline_once(n_events, amp_s1, amp_s2, seed=run,
                                       realistic=realistic,
-                                      ap_photon_frac=ap_photon_frac)
+                                      ap_photon_frac=ap_photon_frac,
+                                      with_s1=with_s1, with_s2=with_s2)
                    for run in range(n_runs)])
     return dict(events_per_sec=statistics.median(ev),
                 photons_per_sec=statistics.median(ph),

@@ -30,10 +30,14 @@ def make_inst(n, types=(1, 2), amps=(2000, 300), spacing=4_000_000, seed=7):
     return inst
 
 
-def run_config(name, config, inst, rawdata_kwargs=None):
+def run_config(name, config, inst, cpu_baseline=None):
     """Two consecutive timed runs per row (after a compile warmup); the row
     reports the median and carries an explicit stable flag (runs within
-    20%) — one-run rows with excuses don't belong in end-of-round tables."""
+    20%) — one-run rows with excuses don't belong in end-of-round tables.
+
+    ``cpu_baseline``: callable(truth) -> baseline dict (bench.py
+    measure_cpu_baseline-style), run AFTER the TPU timing so the matched
+    single-core numpy reference work never overlaps the device runs."""
     sim = Simulator(config)
     _ = sim.get_arrays(inst)           # warmup/compile
     dts = []
@@ -45,32 +49,54 @@ def run_config(name, config, inst, rawdata_kwargs=None):
     dt = float(np.median(dts))
     n_events = len(np.unique(inst['event_number']))
     n_ph = int(out['truth']['n_photon'].sum())
-    print(json.dumps({
+    row = {
         'metric': name, 'value': round(n_events / dt, 3),
         'unit': 'events/s',
         'runs_events_per_sec': [round(n_events / d, 1) for d in dts],
         'stable': bool(max(dts) / min(dts) < 1.2),
         'photons_per_sec': round(n_ph / dt, 1),
         'records': int(len(out['raw_records'])),
-    }), flush=True)
+    }
+    if cpu_baseline is not None:
+        cpu = cpu_baseline(out['truth'])
+        row['events_per_sec_cpu_baseline'] = round(cpu['events_per_sec'], 3)
+        row['vs_baseline'] = round(n_events / dt / cpu['events_per_sec'], 2)
+    print(json.dumps(row), flush=True)
 
 
 def main():
+    from bench import measure_cpu_baseline, measure_cpu_optical_baseline
     n = 256
     base = dict(chunk_size=1000, seed=1234)
 
     run_config('S1-only', default_config(**base),
-               make_inst(n, types=(1,), amps=(2000,)))
+               make_inst(n, types=(1,), amps=(2000,)),
+               cpu_baseline=lambda truth: measure_cpu_baseline(
+                   n_runs=3, with_s2=False))
     run_config('S2-only', default_config(**base),
-               make_inst(n, types=(2,), amps=(300,)))
+               make_inst(n, types=(2,), amps=(300,)),
+               cpu_baseline=lambda truth: measure_cpu_baseline(
+                   n_runs=3, with_s1=False))
+
+    def _noise_baseline(truth):
+        n_tot = truth['n_photon'].sum()
+        frac = float(truth['n_photon'][truth['type'] > 2].sum()
+                     / max(n_tot, 1))
+        return measure_cpu_baseline(n_runs=3, realistic=True,
+                                    ap_photon_frac=frac)
+
     run_config('full S1+S2 + afterpulses + noise',
                default_config(enable_pmt_afterpulses=True,
                               enable_electron_afterpulses=True,
                               enable_noise=True, **base),
-               make_inst(n))
+               make_inst(n), cpu_baseline=_noise_baseline)
+    # high-rate: per-event work on the reference is the same as the
+    # headline (spacing changes window merging, not per-photon cost), so
+    # the standard baseline is the matched comparison
     run_config('high-rate S1+S2 (1 kHz)',
                default_config(**base),
-               make_inst(1024, spacing=1_000_000))
+               make_inst(1024, spacing=1_000_000),
+               cpu_baseline=lambda truth: measure_cpu_baseline(n_runs=3))
 
     # optical (GEANT4-like photon lists), nVeto detector
     from wfsim_tpu.pipeline.chunker import ChunkRawRecords
@@ -103,6 +129,7 @@ def main():
         outs = run_optical()
         dts.append(time.perf_counter() - t0)
     dt = float(np.median(dts))
+    cpu = measure_cpu_optical_baseline(ppe=ppe, n_channels=120)
     print(json.dumps({
         'metric': 'optical photon-list (nVeto)', 'value': round(n_ev / dt, 3),
         'unit': 'events/s',
@@ -110,6 +137,8 @@ def main():
         'stable': bool(max(dts) / min(dts) < 1.2),
         'photons_per_sec': round(n_ev * ppe / dt, 1),
         'records': int(sum(len(o['raw_records']) for o in outs)),
+        'events_per_sec_cpu_baseline': round(cpu['events_per_sec'], 3),
+        'vs_baseline': round(n_ev / dt / cpu['events_per_sec'], 2),
     }), flush=True)
 
 
