@@ -403,8 +403,8 @@ class RawDataTPU:
                    row_members=row_members, n_rows_cap=n_rows_cap,
                    inst=inst, key=key, cap=cap, ecap=ecap,
                    photons=photons,
-                   truth_pack=self._pack_device(
-                       dict(truth, _req=totals['req_counts'])))
+                   fetch_trees={'truth':
+                                dict(truth, _req=totals['req_counts'])})
 
         if self.const.enable_pmt_afterpulses and \
                 self.params.pmt_ap_delay_cdf is not None:
@@ -413,10 +413,9 @@ class RawDataTPU:
             ap_photons, ap_info = pmt_afterpulse_photons(
                 self.params, self.const, photons, ap_key,
                 ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-            job.update(ap_photons=ap_photons, ap_key=ap_key, ap_cap=ap_cap,
-                       ap_pack=self._pack_device(
-                           {k: ap_info[k] for k in ('counts', 't_min',
-                                                    't_max', 'total')}))
+            job.update(ap_photons=ap_photons, ap_key=ap_key, ap_cap=ap_cap)
+            job['fetch_trees']['ap'] = {
+                k: ap_info[k] for k in ('counts', 't_min', 't_max', 'total')}
 
         if want_gen and kind == 's2' and (
                 self.const.enable_electron_afterpulses
@@ -425,7 +424,7 @@ class RawDataTPU:
             counts_d, tz_d = photon_summaries(photons, summ_key,
                                               n_inst=n_rows_cap)
             job['summ_key'] = summ_key
-            job['summ_pack'] = self._pack_device(dict(counts=counts_d, tz=tz_d))
+            job['fetch_trees']['summ'] = dict(counts=counts_d, tz=tz_d)
         return job
 
     def _dispatch_type_batch(self, instructions, idx, kind, want_gen):
@@ -435,16 +434,67 @@ class RawDataTPU:
         return self._dispatch_prepared(prep, want_gen,
                                        self._conservative_cap(prep))
 
+    def _pack_job_group(self, jobs):
+        """Merge every job's pending ``fetch_trees`` (truth / afterpulse /
+        summary device arrays) into ONE shared :meth:`_pack_device` transfer
+        pair.  The relay charges a full round trip per blocking fetch
+        (~0.2-0.7 s), so a super-batch pays one RTT for ALL its sim results
+        instead of one per pack — with afterpulses on that is up to nine
+        packs (truth+ap per s1/s2/pi_el/pe_el job plus the s2 summary).
+        Jobs without ``fetch_trees`` (e.g. the optical subclass's own packed
+        jobs) pass through untouched."""
+        tree = {}
+        shared = {'handle': None, 'host': None}
+        for ji, job in enumerate(jobs):
+            trees = job.pop('fetch_trees', None)
+            if not trees:
+                continue
+            job['ji'] = ji
+            job['group_fetch'] = shared
+            for g, sub in trees.items():
+                for k, v in sub.items():
+                    tree[f'{ji}|{g}|{k}'] = v
+        if tree:
+            shared['handle'] = self._pack_device(tree)
+
+    def _job_fetched(self, job, group):
+        """This job's host-side dict for ``group`` ('truth'/'ap'/'summ') out
+        of the shared group pack; None if the job wasn't group-packed or has
+        no such group.  The first call blocks on the one stacked transfer."""
+        if 'group_fetch' not in job:
+            return None
+        trees = job.get('fetched')
+        if trees is None:
+            shared = job['group_fetch']
+            if shared['host'] is None:
+                t0 = time.perf_counter()
+                shared['host'] = self._unpack_host(*shared['handle'])
+                self.diag.seconds['sim_group_fetch'] += \
+                    time.perf_counter() - t0
+            ji = str(job['ji'])
+            trees = {}
+            for key, arr in shared['host'].items():
+                j, g, k = key.split('|', 2)
+                if j == ji:
+                    trees.setdefault(g, {})[k] = arr
+            job['fetched'] = trees
+        return trees.get(group)
+
     def _finalize_type_batch(self, job, instructions, truth_sink, gen_sink):
         """Collect one dispatched batch: fetch packed summaries (blocking, but
-        the device compute was already queued), handle rare capacity
-        overflows, register photons in the arena and emit truth rows."""
+        the device compute was already queued and the whole super-batch's
+        results ride one stacked transfer), handle rare capacity overflows,
+        register photons in the arena and emit truth rows."""
         kind, idx = job['kind'], job['idx']
         base_time = job['base_time']
         n_rows_cap = job['n_rows_cap']
         photons = job['photons']
 
-        truth_h = self._unpack_host(*job['truth_pack'])
+        truth_h = self._job_fetched(job, 'truth')
+        truth_h = (dict(truth_h) if truth_h is not None
+                   else self._unpack_host(*job['truth_pack']))
+        ap_h = self._job_fetched(job, 'ap')
+        summ_h = self._job_fetched(job, 'summ')
         req = truth_h.pop('_req')[:len(idx)]
 
         cap = job['cap']
@@ -462,32 +512,32 @@ class RawDataTPU:
                     e_capacity=job['ecap'], capacity=cap,
                     n_truth_rows=n_rows_cap)
             job['photons'] = photons
-            truth_h = self._unpack_host(*self._pack_device(
-                dict(truth, _req=totals['req_counts'])))
+            truth_h = self._fetch_packed(
+                dict(truth, _req=totals['req_counts']))
             req = truth_h.pop('_req')[:len(idx)]
             if 'ap_photons' in job:
                 ap_photons, ap_info = pmt_afterpulse_photons(
                     self.params, self.const, photons, job['ap_key'],
                     ap_capacity=job['ap_cap'], n_truth_rows=n_rows_cap)
                 job['ap_photons'] = ap_photons
-                job['ap_pack'] = self._pack_device(
+                ap_h = self._fetch_packed(
                     {k: ap_info[k] for k in ('counts', 't_min', 't_max',
                                              'total')})
-            if 'summ_pack' in job:
+            if 'summ_key' in job:
                 # the electron-afterpulse instructions derive from these
                 # photon statistics — recompute from the UNtruncated retry
                 # photons (same key, so the thinning draws agree)
                 counts_d, tz_d = photon_summaries(photons, job['summ_key'],
                                                   n_inst=n_rows_cap)
-                job['summ_pack'] = self._pack_device(
-                    dict(counts=counts_d, tz=tz_d))
+                summ_h = self._fetch_packed(dict(counts=counts_d, tz=tz_d))
         else:
             raise RuntimeError('photon capacity runaway')
 
-        ap_photons = ap_h = None
+        ap_photons = None
         if 'ap_photons' in job:
             ap_photons = job['ap_photons']
-            ap_h = self._unpack_host(*job['ap_pack'])
+            if ap_h is None:
+                ap_h = self._unpack_host(*job['ap_pack'])
             ap_cap = job['ap_cap']
             for _attempt in range(6):
                 if int(ap_h['total']) <= ap_cap:
@@ -496,18 +546,19 @@ class RawDataTPU:
                 ap_photons, ap_info = pmt_afterpulse_photons(
                     self.params, self.const, photons, job['ap_key'],
                     ap_capacity=ap_cap, n_truth_rows=n_rows_cap)
-                ap_h = self._unpack_host(*self._pack_device(
+                ap_h = self._fetch_packed(
                     {k: ap_info[k] for k in ('counts', 't_min', 't_max',
-                                             'total')}))
+                                             'total')})
             else:
                 raise RuntimeError('afterpulse capacity runaway')
+        else:
+            ap_h = None
 
         # electron-afterpulse feedback: only true S2 pulses spawn them
         # (reference: rawdata.py:193-201)
-        if gen_sink is not None and 'summ_pack' in job:
-            summ = self._unpack_host(*job['summ_pack'])
-            counts_h = summ['counts'][:len(idx)]
-            tz_h = summ['tz'][:len(idx)]
+        if gen_sink is not None and summ_h is not None:
+            counts_h = summ_h['counts'][:len(idx)]
+            tz_h = summ_h['tz'][:len(idx)]
             src = instructions[idx]
             if self.const.enable_electron_afterpulses and \
                     getattr(self.resource, 'uniform_to_ele_ap', None) is not None:
@@ -519,9 +570,11 @@ class RawDataTPU:
                     self.config, self.rng, counts_h, tz_h, src, base_time))
 
         # ---- arena registration (range-based; no per-row scans) ----
+        t0 = time.perf_counter()
         self._pool_append(photons, ap_photons, ap_h, idx, instructions,
                           base_time, truth_h, req, job['row_members'], kind,
                           truth_sink)
+        self.diag.seconds['sim_pool_append'] += time.perf_counter() - t0
 
     def _append_buffer(self, photons, base_time):
         """Register a DEVICE photon buffer (no transfer); returns its id.
@@ -915,6 +968,7 @@ class RawDataTPU:
         t_d0 = time.perf_counter()
         jobs = [self._dispatch_prepared(p, want_gen, _bucket(int(d) + 64))
                 for p, d in zip(preps, demands)]
+        self._pack_job_group(jobs)
         self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
         return jobs
 
@@ -935,6 +989,9 @@ class RawDataTPU:
         batch_list = self._sim_batch_list(instructions, order)
         jobs = [self._dispatch_type_batch(instructions, idx, kind, want_gen)
                 for kind, idx in batch_list]
+        # base-class jobs carry fetch_trees; subclass jobs with their own
+        # truth_pack/ap_pack handles pass through _pack_job_group untouched
+        self._pack_job_group(jobs)
         self.diag.seconds['sim_dispatch'] += time.perf_counter() - t_d0
         return jobs
 
