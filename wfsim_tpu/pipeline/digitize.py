@@ -636,22 +636,39 @@ def expand_interval_meta(itv_meta):
     return w_of, c_of, start_s, length, m_plen, k, left_ch
 
 
+def noise_bank_ext_cm(bank):
+    """Wrap-extended CHANNEL-MAJOR int16 host copy of the (L, Cn) noise
+    bank: ``ext[c, x] == bank[x % L, c]`` for ``x < L + SAMPLES_PER_RECORD``.
+    In this layout one record's overlay is a contiguous 110-sample slice of
+    one row — the channel-minor gather it replaces touched a ~1 KB-strided
+    cache line per sample (measured ~10x slower over ~400k records)."""
+    cm = np.ascontiguousarray(bank.T).astype(np.int16, copy=False)
+    return np.concatenate([cm, cm[:, :SAMPLES_PER_RECORD]], axis=1)
+
+
 def add_noise_host(out, channel, start_s, length, left_ch, noise_ix_rec,
-                   bank):
+                   bank, ext_cm=None):
     """Re-apply, in place, the noise overlay the device stripped from the
     transport payload: ``out[r, k] += bank[(noise_ix_rec[r] + start_s[r] + k
     - left_ch[r]) % L, channel[r]]`` for k < length[r] and channels covered
     by the bank — the exact inverse of the residual view
     (:func:`gather_digitize` docstring; alignment semantics from reference
-    rawdata.py:407-431)."""
+    rawdata.py:407-431).
+
+    ``ext_cm``: optional precomputed :func:`noise_bank_ext_cm` of ``bank``
+    (the production path caches it; built on the fly otherwise)."""
     L, Cn = bank.shape
     rows = np.flatnonzero((channel < Cn) & (length > 0))
     if not len(rows):
         return out
-    k = np.arange(out.shape[1], dtype=np.int64)
-    idx = (noise_ix_rec[rows, None] + start_s[rows, None] + k[None, :]
-           - left_ch[rows, None]) % L
-    nv = bank[idx, channel[rows, None]].astype(np.int16)
+    if ext_cm is None:
+        ext_cm = noise_bank_ext_cm(bank)
+    spr = out.shape[1]
+    assert spr <= SAMPLES_PER_RECORD
+    k = np.arange(spr, dtype=np.int32)
+    s0 = ((noise_ix_rec[rows].astype(np.int64) + start_s[rows]
+           - left_ch[rows]) % L).astype(np.int32)
+    nv = ext_cm[channel[rows, None], s0[:, None] + k[None, :]]
     out[rows] = out[rows] + np.where(k[None, :] < length[rows, None], nv, 0)
     return out
 

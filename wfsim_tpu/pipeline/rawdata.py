@@ -1305,8 +1305,26 @@ class RawDataTPU:
             time.perf_counter() - t0
         return dict(wins=wins, sizes=sizes, batches=batches_meta, tok=tok,
                     baseline=baseline, dt=dt,
-                    noise_bank=(np.asarray(self.params.noise_data)
+                    noise_host=(self._noise_host_bank()
                                 if noise_on else None))
+
+    def _noise_host_bank(self):
+        """(bank, ext_cm) host-side pair for the decode-stage noise re-add,
+        cached on the shared resource: the raw (L, Cn) bank comes straight
+        from the resource's numpy asset (no device fetch), and the
+        wrap-extended channel-major copy is built once per process."""
+        from .digitize import noise_bank_ext_cm
+        cached = getattr(self.resource, '_noise_host_cm_cache', None)
+        if cached is None:
+            bank = getattr(self.resource, 'noise_data', None)
+            bank = (np.asarray(bank, dtype=np.int32) if bank is not None
+                    else np.asarray(self.params.noise_data))
+            cached = (bank, noise_bank_ext_cm(bank))
+            try:
+                self.resource._noise_host_cm_cache = cached
+            except Exception:
+                pass
+        return cached
 
     def _arena_alloc(self, n, dtype):
         """Allocate ``n`` record rows as a slice of the run-level record
@@ -1352,7 +1370,7 @@ class RawDataTPU:
             return
         wins = state['wins']
         baseline = state['baseline']
-        noise_bank = state['noise_bank']
+        noise_host = state['noise_host']
         dt = state['dt']
         spr = DEFAULT_RECORD_LENGTH
 
@@ -1370,10 +1388,11 @@ class RawDataTPU:
             rdata = decode_records(m[3], masks[:n_rec],
                                    vals[:n_val], escs[:n_esc],
                                    baseline)
-            if noise_bank is not None:
+            if noise_host is not None:
                 # re-apply the overlay the device stripped for transport
                 add_noise_host(rdata, m[1], m[2], m[3], m[6],
-                               nix[m[0]], noise_bank)
+                               nix[m[0]], noise_host[0],
+                               ext_cm=noise_host[1])
             return m, rdata
         # note: pushing decode to a worker thread was tried and measured
         # SLOWER (GIL contention with the blocking device fetches);
@@ -1407,31 +1426,49 @@ class RawDataTPU:
         # on virtualized hosts — pay them once, here).
         t_split0 = time.perf_counter()
         results = [None] * len(wins)
-        splits = []
         win_counts = np.zeros(len(wins), np.int64)
+        W_p, C_p, S_p, LEN_p, PLEN_p, RECI_p, R_p = ([] for _ in range(7))
         for batch, (n_rec, m, rdata) in zip(state['batches'], payload_rows):
             # split records by window (ascending by design)
             bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
             win_counts[np.asarray(batch)] = np.diff(bounds)
-            splits.append((batch, m, rdata, bounds))
+            W_p.append(np.asarray(batch, np.int64)[m[0]])
+            C_p.append(m[1])
+            S_p.append(m[2])
+            LEN_p.append(m[3])
+            PLEN_p.append(m[4])
+            RECI_p.append(m[5])
+            R_p.append(rdata)
         offsets = np.concatenate([[0], np.cumsum(win_counts)])
-        chunk_arr = self._arena_alloc(int(offsets[-1]), raw_record_dtype(spr))
-        for batch, (m_w, m_c, m_start, m_len, m_plen, m_reci, _m_lch), \
-                rdata, bounds in splits:
-            for bi, wi in enumerate(batch):
-                sl = slice(bounds[bi], bounds[bi + 1])
-                order = np.lexsort((m_c[sl], m_start[sl]))
-                recs = chunk_arr[offsets[wi]:offsets[wi + 1]]
-                recs['time'] = ((np.int64(wins[wi]['win_left'])
-                                 + m_start[sl][order].astype(np.int64)) * dt)
-                recs['channel'] = m_c[sl][order]
-                recs['dt'] = dt
-                recs['length'] = m_len[sl][order]
-                recs['pulse_length'] = m_plen[sl][order]
-                recs['record_i'] = m_reci[sl][order]
-                recs['data'] = rdata[sl][order]
-                results[wi] = recs
-                self.diag.add('records', len(recs))
+        N = int(offsets[-1])
+        chunk_arr = self._arena_alloc(N, raw_record_dtype(spr))
+        if N:
+            # ONE global sort (window, then start, then channel — the same
+            # per-window (start, channel) key the old per-window loop used;
+            # lexsort is stable, so tie order is unchanged) and ONE
+            # vectorized fill per field: the per-window python loop ran
+            # thousands of tiny strided copies per round and degraded
+            # super-linearly under memory pressure (13.6 s at 1024 noisy
+            # events vs ~1 s for this form)
+            W = np.concatenate(W_p)
+            S = np.concatenate(S_p)
+            C = np.concatenate(C_p)
+            order = np.lexsort((C, S, W))
+            win_left_all = np.fromiter((w['win_left'] for w in wins),
+                                       np.int64, len(wins))
+            recs = chunk_arr[:N]
+            recs['time'] = (win_left_all[W[order]]
+                            + S[order].astype(np.int64)) * dt
+            recs['channel'] = C[order]
+            recs['dt'] = dt
+            recs['length'] = np.concatenate(LEN_p)[order]
+            recs['pulse_length'] = np.concatenate(PLEN_p)[order]
+            recs['record_i'] = np.concatenate(RECI_p)[order]
+            recs['data'] = (R_p[0] if len(R_p) == 1
+                            else np.concatenate(R_p))[order]
+        for wi in range(len(wins)):
+            results[wi] = chunk_arr[offsets[wi]:offsets[wi + 1]]
+        self.diag.add('records', N)
         self.diag.seconds['digitize_host_split'] += \
             time.perf_counter() - t_split0
 
