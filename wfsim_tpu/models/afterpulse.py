@@ -96,14 +96,29 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
     row = jnp.concatenate(all_row)
 
     # Compact selected AP photons, keeping them grouped by truth_row so the
-    # digitizer can gather contiguous per-group ranges.
-    order = jnp.argsort(jnp.where(sel, row, jnp.int32(2 ** 30)), stable=True)
-    take = order[:ap_capacity]
-    out = dict(t=t[take], ch=jnp.where(sel[take], chs[take], -1),
-               gain=gain[take].astype(jnp.float32),
+    # digitizer can gather contiguous per-group ranges.  Two stages, neither
+    # sorting the full n_elements*n axis (a 1.8M-slot stable argsort was
+    # this kernel's dominant device cost): (1) compact the selected photons
+    # in flat element-major order via cumsum + boundary search; (2) group
+    # the ap_capacity survivors by truth_row with a small stable argsort.
+    # Both stages preserve flat order within a row, so the output is
+    # bitwise identical to the single big argsort whenever total fits
+    # ap_capacity (overflowing calls are regenerated larger by the caller).
+    pos = jnp.cumsum(sel.astype(jnp.int32))
+    total = pos[-1]
+    take1 = jnp.searchsorted(
+        pos, jnp.arange(1, ap_capacity + 1, dtype=jnp.int32))
+    take1 = jnp.clip(take1, 0, sel.shape[0] - 1)
+    valid1 = jnp.arange(ap_capacity, dtype=jnp.int32) < total
+    t1, ch1, g1, row1 = t[take1], chs[take1], gain[take1], row[take1]
+    order = jnp.argsort(jnp.where(valid1, row1, jnp.int32(2 ** 30)),
+                        stable=True)
+    valid_o = valid1[order]
+    out = dict(t=t1[order], ch=jnp.where(valid_o, ch1[order], -1),
+               gain=g1[order].astype(jnp.float32),
                is_dpe=jnp.zeros(ap_capacity, bool),
-               valid=sel[take], truth_row=row[take])
-    info = dict(total=sel.sum().astype(jnp.int32))
+               valid=valid_o, truth_row=row1[order])
+    info = dict(total=total.astype(jnp.int32))
     if n_truth_rows:
         BIG = jnp.int32(2 ** 31 - 1)
         rc = jnp.where(out['valid'], out['truth_row'], 0)
