@@ -131,11 +131,119 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
     return PyLong_FromSsize_t(cur);
 }
 
+/* decode_records_noise(masks uint8[R,14], d8 int8[V], escs int16[E],
+ *                      lengths int32[R], out int16[R,110], baseline,
+ *                      channel int32[R], start_s int64[R], left_ch int64[R],
+ *                      nix int32[R], ext int16[Cn, L+110], L)
+ * -> (values_used, escapes_used)
+ *
+ * Fused host decode of the residual record transport (the numpy
+ * reference path is decode_records + add_noise_host in
+ * wfsim_tpu/pipeline/digitize.py): per record, rebuild the predicted row
+ * (baseline inside the pulse, zero in the tail pad), walk the 110-bit
+ * difference mask consuming the global DPCM int8 stream (chain seeded at
+ * baseline per record; -128 escapes rebase from the int16 escape stream),
+ * then re-add the noise-bank overlay for bank-covered channels.  One pass,
+ * no temporaries — the numpy path needs ~6 full-size passes (unpackbits,
+ * cumsum, repeat, fancy assignment, noise gather, masked add).
+ *
+ * Pass L == 0 to skip the noise overlay (ext may then be empty).
+ * Arithmetic matches numpy exactly: the DPCM chain runs in int32 and
+ * truncates to int16 on store; the noise add wraps in int16.
+ */
+static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
+    Py_buffer masks, d8, escs, lens, out, chan, start, left, nix, ext;
+    long long baseline, L;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*w*Ly*y*y*y*y*L",
+                          &masks, &d8, &escs, &lens, &out, &baseline,
+                          &chan, &start, &left, &nix, &ext, &L))
+        return NULL;
+    const uint8_t *pm = (const uint8_t *)masks.buf;
+    const int8_t *pd = (const int8_t *)d8.buf;
+    const int16_t *pe = (const int16_t *)escs.buf;
+    const int32_t *pl = (const int32_t *)lens.buf;
+    int16_t *po = (int16_t *)out.buf;
+    const int32_t *pch = (const int32_t *)chan.buf;
+    const int64_t *pst = (const int64_t *)start.buf;
+    const int64_t *plf = (const int64_t *)left.buf;
+    const int32_t *pnx = (const int32_t *)nix.buf;
+    const int16_t *pext = (const int16_t *)ext.buf;
+
+    Py_ssize_t R = lens.len / (Py_ssize_t)sizeof(int32_t);
+    Py_ssize_t V = d8.len;                 /* int8: len == count */
+    Py_ssize_t E = escs.len / (Py_ssize_t)sizeof(int16_t);
+    Py_ssize_t Cn = 0, extw = 0;
+    if (L > 0) {
+        extw = L + 110;
+        Cn = ext.len / (Py_ssize_t)sizeof(int16_t) / extw;
+    }
+    if (out.len < R * 110 * (Py_ssize_t)sizeof(int16_t) ||
+        masks.len < R * 14) {
+        PyErr_SetString(PyExc_ValueError, "decode buffer size mismatch");
+        goto fail;
+    }
+
+    Py_ssize_t vi = 0, ei = 0;
+    for (Py_ssize_t r = 0; r < R; r++) {
+        const uint8_t *m = pm + r * 14;
+        int16_t *o = po + r * 110;
+        int32_t len = pl[r];
+        int32_t v = (int32_t)baseline;
+        for (int k = 0; k < 110; k++) {
+            int32_t pred = (k < len) ? (int32_t)baseline : 0;
+            if (m[k >> 3] & (uint8_t)(0x80u >> (k & 7))) {
+                if (vi >= V) {
+                    PyErr_SetString(PyExc_ValueError, "DPCM stream overrun");
+                    goto fail;
+                }
+                int8_t d = pd[vi++];
+                if (d == -128) {
+                    if (ei >= E) {
+                        PyErr_SetString(PyExc_ValueError,
+                                        "escape stream overrun");
+                        goto fail;
+                    }
+                    v = (int32_t)pe[ei++];
+                } else {
+                    v += (int32_t)d;
+                }
+                o[k] = (int16_t)(uint16_t)(uint32_t)v;
+            } else {
+                o[k] = (int16_t)pred;
+            }
+        }
+        if (L > 0 && len > 0 && pch[r] >= 0 && pch[r] < Cn) {
+            int64_t s0 = (pnx[r] + pst[r] - plf[r]) % L;
+            if (s0 < 0) s0 += L;
+            const int16_t *nrow = pext + (Py_ssize_t)pch[r] * extw + s0;
+            int kmax = len < 110 ? len : 110;
+            for (int k = 0; k < kmax; k++)
+                o[k] = (int16_t)(uint16_t)((uint16_t)o[k]
+                                           + (uint16_t)nrow[k]);
+        }
+    }
+
+    PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
+    PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
+    PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
+    PyBuffer_Release(&ext);
+    return Py_BuildValue("(nn)", (Py_ssize_t)vi, (Py_ssize_t)ei);
+
+fail:
+    PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
+    PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
+    PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
+    PyBuffer_Release(&ext);
+    return NULL;
+}
+
 static PyMethodDef methods[] = {
     {"pack_windows", pack_windows, METH_VARARGS,
      "Fused photon-pool gather into padded per-window device inputs"},
     {"find_intervals_below_threshold", find_intervals, METH_VARARGS,
      "Sequential ZLE hitfinder (reference semantics)"},
+    {"decode_records_noise", decode_records_noise, METH_VARARGS,
+     "Fused residual-record decode: DPCM + escapes + noise overlay"},
     {NULL, NULL, 0, NULL},
 };
 

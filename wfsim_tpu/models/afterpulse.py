@@ -57,43 +57,46 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
     """
     n = photons['t'].shape[0]
     n_elements = params.pmt_ap_delay_cdf.shape[0]
-    ch = jnp.clip(photons['ch'], 0, params.gains.shape[0] - 1)
+    n_ch = params.gains.shape[0]
+    ch = jnp.clip(photons['ch'], 0, n_ch - 1)
 
-    all_t, all_ch, all_gain, all_sel, all_row = [], [], [], [], []
+    # ---- stage 0: selection only, over all (element, photon) slots ----
+    # The expensive CDF inversions (log2(R)-step binary searches with a
+    # table gather per step) run AFTER compaction, on ap_capacity slots
+    # instead of n_elements*n: selection needs just three table gathers per
+    # slot — the per-channel AP probability and, for argmin-style elements,
+    # the first two amplitude-CDF values, because the reference's
+    # ``ap_amp > 0`` cut (afterpulse.py:236-243) is exactly
+    # ``2*rU1 > amp_cdf[ch,0] + amp_cdf[ch,1]`` for a nondecreasing row
+    # (argmin index 0 is chosen iff rU1 lies at or below that midpoint,
+    # tie picking index 0 like the reference's np.argmin).  Draw order and
+    # shapes are unchanged, so outputs are bitwise identical.
+    all_sel, all_rU0, all_aux = [], [], []
     for e in range(n_elements):
         k0, k1, k2, key = jax.random.split(key, 4)
         delay_cdf = params.pmt_ap_delay_cdf[e]
-        amp_cdf = params.pmt_ap_amp_cdf[e]
         rU0 = 1.0 - jax.random.uniform(k0, (n,))
         rU0 = rU0 / const.pmt_ap_modifier
         rU0 = jnp.where(photons['is_dpe'], rU0 / 2.0, rU0)
         prob_ap = delay_cdf[ch, -1]
         sel = photons['valid'] & (rU0 <= prob_ap)
-
         if const.pmt_ap_element_uniform[e]:
-            u = jax.random.uniform(k1, (n,))
-            lo, hi = delay_cdf[ch, 0], delay_cdf[ch, 1]
-            ap_delay = (lo + u * (hi - lo)) * const.pmt_ap_delay_bin[e]
-            ap_amp = jnp.ones(n, jnp.float32)
+            aux = jax.random.uniform(k1, (n,))
         else:
-            idx = _argmin_abs_monotone(delay_cdf, ch, rU0)
-            ap_delay = (idx.astype(jnp.float32) * const.pmt_ap_delay_bin[e]
-                        - const.pmt_ap_t_modifier)
-            rU1 = 1.0 - jax.random.uniform(k2, (n,))
-            aidx = _argmin_abs_monotone(amp_cdf, ch, rU1)
-            ap_amp = aidx.astype(jnp.float32) * const.pmt_ap_amp_bin[e]
+            amp_cdf = params.pmt_ap_amp_cdf[e]
+            aux = 1.0 - jax.random.uniform(k2, (n,))      # rU1
+            if amp_cdf.shape[1] < 2:       # degenerate table: argmin idx
+                amp_pos = jnp.zeros(n, bool)    # is always 0 -> amp 0
+            else:
+                amp_pos = 2.0 * aux > amp_cdf[ch, 0] + amp_cdf[ch, 1]
+            sel = sel & amp_pos & (const.pmt_ap_amp_bin[e] > 0)
+        all_sel.append(sel)
+        all_rU0.append(rU0)
+        all_aux.append(aux)
 
-        all_t.append(photons['t'] + ap_delay.astype(jnp.int32))
-        all_ch.append(photons['ch'])
-        all_gain.append(params.gains[ch] * ap_amp)
-        all_sel.append(sel & (ap_amp > 0))
-        all_row.append(photons['truth_row'])
-
-    t = jnp.concatenate(all_t)
-    chs = jnp.concatenate(all_ch)
-    gain = jnp.concatenate(all_gain)
     sel = jnp.concatenate(all_sel)
-    row = jnp.concatenate(all_row)
+    rU0_cat = jnp.concatenate(all_rU0)
+    aux_cat = jnp.concatenate(all_aux)
 
     # Compact selected AP photons, keeping them grouped by truth_row so the
     # digitizer can gather contiguous per-group ranges.  Two stages, neither
@@ -110,7 +113,39 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
         pos, jnp.arange(1, ap_capacity + 1, dtype=jnp.int32))
     take1 = jnp.clip(take1, 0, sel.shape[0] - 1)
     valid1 = jnp.arange(ap_capacity, dtype=jnp.int32) < total
-    t1, ch1, g1, row1 = t[take1], chs[take1], gain[take1], row[take1]
+
+    # ---- stage 1b: per-slot physics at ap_capacity width ----
+    e_of = (take1 // n).astype(jnp.int32)
+    i_of = (take1 % n).astype(jnp.int32)
+    ch_s = ch[i_of]
+    rU0_s = rU0_cat[take1]
+    aux_s = aux_cat[take1]
+
+    E, C, Rd = params.pmt_ap_delay_cdf.shape
+    Ra = params.pmt_ap_amp_cdf.shape[2]
+    drows = params.pmt_ap_delay_cdf.reshape(E * C, Rd)
+    arows = params.pmt_ap_amp_cdf.reshape(E * C, Ra)
+    ridx = e_of * C + ch_s
+    delay_bin = jnp.asarray(const.pmt_ap_delay_bin, jnp.float32)[e_of]
+    uniform_e = jnp.asarray(const.pmt_ap_element_uniform, bool)[e_of]
+
+    lo0 = drows[ridx, 0]
+    hi0 = drows[ridx, 1]
+    delay_u = (lo0 + aux_s * (hi0 - lo0)) * delay_bin
+    didx = _argmin_abs_monotone(drows, ridx, rU0_s)
+    delay_s = (didx.astype(jnp.float32) * delay_bin
+               - const.pmt_ap_t_modifier)
+    ap_delay = jnp.where(uniform_e, delay_u, delay_s)
+
+    aidx = _argmin_abs_monotone(arows, ridx, aux_s)
+    amp_s = aidx.astype(jnp.float32) * \
+        jnp.asarray(const.pmt_ap_amp_bin, jnp.float32)[e_of]
+    ap_amp = jnp.where(uniform_e, 1.0, amp_s)
+
+    t1 = photons['t'][i_of] + ap_delay.astype(jnp.int32)
+    ch1 = photons['ch'][i_of]
+    g1 = params.gains[ch_s] * ap_amp
+    row1 = photons['truth_row'][i_of]
     order = jnp.argsort(jnp.where(valid1, row1, jnp.int32(2 ** 30)),
                         stable=True)
     valid_o = valid1[order]

@@ -15,7 +15,8 @@ except ImportError:
     _fastpath = None
     HAVE_NATIVE = False
 
-__all__ = ['HAVE_NATIVE', 'pack_windows', 'find_intervals_below_threshold']
+__all__ = ['HAVE_NATIVE', 'pack_windows', 'find_intervals_below_threshold',
+           'decode_residual_records']
 
 
 def pack_windows(pool_t, pool_ch, pool_gain, piece_lo, piece_cnt, piece_win,
@@ -85,3 +86,50 @@ def find_intervals_below_threshold(w, threshold, holdoff, result_buffer):
             else:
                 break
     return n
+
+
+def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
+                            channel=None, start_s=None, left_ch=None,
+                            nix_rec=None, bank=None, ext_cm=None):
+    """Decode the residual record transport and (optionally) re-apply the
+    noise overlay, in one fused native pass when the extension is built;
+    otherwise via the numpy reference path (pipeline.digitize.decode_records
+    + add_noise_host), which this must match bitwise (tests/test_native.py).
+
+    :param lengths: (R,) per-record sample counts
+    :param masks/d8/esc_vals: the encoded transport streams (esc_vals sliced
+        exactly to the escape count)
+    :param channel/start_s/left_ch/nix_rec/bank/ext_cm: noise re-add inputs
+        (all None = no noise); ``ext_cm`` is noise_bank_ext_cm(bank)
+    :returns: (R, 110) int16 record payload
+    """
+    from .pipeline.digitize import (decode_records, add_noise_host,
+                                    noise_bank_ext_cm, SAMPLES_PER_RECORD)
+    R = len(lengths)
+    noise_on = bank is not None
+    if HAVE_NATIVE:
+        out = np.empty((R, SAMPLES_PER_RECORD), np.int16)
+        if noise_on and ext_cm is None:
+            ext_cm = noise_bank_ext_cm(bank)
+        L = int(bank.shape[0]) if noise_on else 0
+        zi32 = np.zeros(0, np.int32)
+        zi64 = np.zeros(0, np.int64)
+        _fastpath.decode_records_noise(
+            np.ascontiguousarray(masks, np.uint8),
+            np.ascontiguousarray(d8, np.int8),
+            np.ascontiguousarray(esc_vals, np.int16),
+            np.ascontiguousarray(lengths, np.int32),
+            out, int(baseline),
+            np.ascontiguousarray(channel, np.int32) if noise_on else zi32,
+            np.ascontiguousarray(start_s, np.int64) if noise_on else zi64,
+            np.ascontiguousarray(left_ch, np.int64) if noise_on else zi64,
+            np.ascontiguousarray(nix_rec, np.int32) if noise_on else zi32,
+            np.ascontiguousarray(ext_cm, np.int16) if noise_on
+            else np.zeros(0, np.int16),
+            L)
+        return out
+    out = decode_records(lengths, masks, d8, esc_vals, baseline)
+    if noise_on:
+        add_noise_host(out, channel, start_s, lengths, left_ch, nix_rec,
+                       bank, ext_cm=ext_cm)
+    return out

@@ -94,6 +94,18 @@ _s2_demand_jit = jax.jit(s2_photon_demand,
                          static_argnames=('const', 'e_capacity'))
 
 
+@jax.jit
+def _flat_concat_i32(arrays):
+    """ravel+cast+concat as one program (see _pack_device); retraces per
+    (shapes, dtypes) signature, which the bucketed caps keep bounded."""
+    return jnp.concatenate([jnp.ravel(a).astype(jnp.int32) for a in arrays])
+
+
+@jax.jit
+def _flat_concat_f32(arrays):
+    return jnp.concatenate([jnp.ravel(a).astype(jnp.float32) for a in arrays])
+
+
 def _start_sliced_copies(arrays, target_bytes=16_000_000):
     """Begin async device->host copies of `arrays` in ~16 MB slices; returns
     a token for `_collect_sliced`.
@@ -594,18 +606,24 @@ class RawDataTPU:
         field.  Returns (groups, spec); nothing blocks — the device->host
         copies are STARTED here (async, queued behind the producing
         kernels), so the later blocking unpack pays no tunnel round-trip
-        latency per batch (~0.2-0.5 s each through the relay)."""
+        latency per batch (~0.2-0.5 s each through the relay).
+
+        The ravel/cast/concat runs as ONE jitted program per dtype group
+        (shape-signature cached): the eager formulation dispatched 2N+1
+        lazy ops per pack — ~110 relay-executed micro-programs per bench
+        run (jit_ravel x78 in the full-run trace), each paying fixed
+        dispatch + relay command latency for ~zero device work."""
         items = sorted(tree.items())
         ints = [(k, v) for k, v in items
                 if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool]
         flts = [(k, v) for k, v in items
                 if not (jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool)]
         groups, spec = {}, {}
-        for name, group, dt in (('i', ints, jnp.int32), ('f', flts, jnp.float32)):
+        for name, group, fn in (('i', ints, _flat_concat_i32),
+                                ('f', flts, _flat_concat_f32)):
             if not group:
                 continue
-            groups[name] = jnp.concatenate(
-                [jnp.ravel(v).astype(dt) for _, v in group])
+            groups[name] = fn([v for _, v in group])
             spec[name] = [(k, v.shape) for k, v in group]
             try:
                 groups[name].copy_to_host_async()
@@ -1364,8 +1382,8 @@ class RawDataTPU:
         the residual stream (re-applying the noise overlay host-side), split
         records per window and yield the windows in time order."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
-        from .digitize import (decode_records, expand_interval_meta,
-                               add_noise_host)
+        from .digitize import expand_interval_meta
+        from ..native import decode_residual_records
         if state is None:
             return
         wins = state['wins']
@@ -1385,14 +1403,16 @@ class RawDataTPU:
                 escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
             m = expand_interval_meta(itv[:n_itv])
             assert len(m[0]) == n_rec, (len(m[0]), n_rec)
-            rdata = decode_records(m[3], masks[:n_rec],
-                                   vals[:n_val], escs[:n_esc],
-                                   baseline)
             if noise_host is not None:
-                # re-apply the overlay the device stripped for transport
-                add_noise_host(rdata, m[1], m[2], m[3], m[6],
-                               nix[m[0]], noise_host[0],
-                               ext_cm=noise_host[1])
+                rdata = decode_residual_records(
+                    m[3], masks[:n_rec], vals[:n_val], escs[:n_esc],
+                    baseline, channel=m[1], start_s=m[2], left_ch=m[6],
+                    nix_rec=nix[m[0]], bank=noise_host[0],
+                    ext_cm=noise_host[1])
+            else:
+                rdata = decode_residual_records(
+                    m[3], masks[:n_rec], vals[:n_val], escs[:n_esc],
+                    baseline)
             return m, rdata
         # note: pushing decode to a worker thread was tried and measured
         # SLOWER (GIL contention with the blocking device fetches);
