@@ -27,6 +27,7 @@ from __future__ import annotations
 import logging
 import time
 import typing as ty
+from functools import partial
 
 import numpy as np
 import jax
@@ -95,15 +96,41 @@ _s2_demand_jit = jax.jit(s2_photon_demand,
 
 
 @jax.jit
-def _flat_concat_i32(arrays):
-    """ravel+cast+concat as one program (see _pack_device); retraces per
-    (shapes, dtypes) signature, which the bucketed caps keep bounded."""
-    return jnp.concatenate([jnp.ravel(a).astype(jnp.int32) for a in arrays])
+def _flat_concat_mixed(int_arrays, float_arrays):
+    """ravel+cast+concat of a whole fetch tree as ONE program and ONE int32
+    buffer (floats bit-cast, so the values roundtrip exactly); retraces per
+    (shapes, dtypes) signature, which the bucketed caps keep bounded.  The
+    eager formulation dispatched 2N+1 relay micro-programs per pack and two
+    blocking transfers per fetch."""
+    parts = [jnp.ravel(a).astype(jnp.int32) for a in int_arrays]
+    parts += [jax.lax.bitcast_convert_type(
+        jnp.ravel(a).astype(jnp.float32), jnp.int32) for a in float_arrays]
+    return jnp.concatenate(parts)
 
 
 @jax.jit
-def _flat_concat_f32(arrays):
-    return jnp.concatenate([jnp.ravel(a).astype(jnp.float32) for a in arrays])
+def _split_pieces_jit(buf):
+    """Split the packed (B, P*3+1) digitize-dispatch upload back into the
+    (B, P, 3) piece table and the (B,) noise offsets."""
+    B = buf.shape[0]
+    return buf[:, :-1].reshape(B, -1, 3), buf[:, -1]
+
+
+@partial(jax.jit, static_argnames=('names',))
+def _unpack_inst_jit(buf, names):
+    """Split a packed (F, icap) int32 instruction upload back into the
+    per-field dict the sim kernels take (see _make_inst_batch): float
+    fields were bit-cast on the host, bools ride as 0/1."""
+    out = {}
+    for i, (nm, kind) in enumerate(names):
+        row = buf[i]
+        if kind == 'f':
+            out[nm] = jax.lax.bitcast_convert_type(row, jnp.float32)
+        elif kind == 'b':
+            out[nm] = row.astype(bool)
+        else:
+            out[nm] = row
+    return out
 
 
 def _start_sliced_copies(arrays, target_bytes=16_000_000):
@@ -300,31 +327,55 @@ class RawDataTPU:
         return jax.device_put(a, NamedSharding(self.mesh, P()))
 
     def _make_inst_batch(self, instructions, idx, base_time, truth_rows, n_rows):
-        """Pad a host instruction selection into a device batch dict."""
+        """Pad a host instruction selection into a device batch dict.
+
+        Single-chip path: every field rides ONE (F, icap) int32 upload
+        (floats bit-cast) + one jitted unpack program — the per-field
+        formulation paid 8-10 relay-dispatched H2D transfers per prepared
+        batch.  Mesh runs keep the per-field device_put so each field gets
+        its explicit 'events' sharding."""
         icap = _bucket(max(len(idx), 1), lo=max(8, self._ev_shards),
                        hi=2 ** 16)
         sel = instructions[idx]
-        out = {}
-        def pad(x, dtype, fill=0):
-            a = np.full(icap, fill, dtype=dtype)
-            a[:len(idx)] = x
-            return self._shard_events(jnp.asarray(a))
-        out['time'] = pad((sel['time'] - base_time).astype(np.int64), np.int32)
-        out['x'] = pad(sel['x'], np.float32)
-        out['y'] = pad(sel['y'], np.float32)
-        out['z'] = pad(sel['z'], np.float32)
-        out['amp'] = pad(sel['amp'], np.int32)
-        out['recoil'] = pad(sel['recoil'], np.int32)
+        n = len(idx)
+        # (name, host values, kind) in kernel-input order; padding slots of
+        # truth_row carry the LAST row (not 0) so the per-photon truth_row
+        # stays ascending — the truth counters are cumsum-based segment sums
+        # that require sorted ids (models/pmt.py); padded contributions are
+        # masked to zero either way
+        fields = [
+            ('time', (sel['time'] - base_time).astype(np.int64), 'i', 0),
+            ('x', sel['x'], 'f', 0),
+            ('y', sel['y'], 'f', 0),
+            ('z', sel['z'], 'f', 0),
+            ('amp', sel['amp'], 'i', 0),
+            ('recoil', sel['recoil'], 'i', 0),
+        ]
         if 'local_field' in sel.dtype.names:
-            out['local_field'] = pad(sel['local_field'], np.float32)
+            fields.append(('local_field', sel['local_field'], 'f', 0))
         if 'e_dep' in sel.dtype.names:
-            out['e_dep'] = pad(sel['e_dep'], np.float32)
-        out['valid'] = pad(np.ones(len(idx), bool), bool, False)
-        # padding slots carry the LAST truth row (not 0) so the per-photon
-        # truth_row stays ascending — the truth counters are cumsum-based
-        # segment sums that require sorted ids (models/pmt.py); padded
-        # contributions are masked to zero either way
-        out['truth_row'] = pad(truth_rows, np.int32, fill=n_rows - 1)
+            fields.append(('e_dep', sel['e_dep'], 'f', 0))
+        fields.append(('valid', np.ones(n, bool), 'b', 0))
+        fields.append(('truth_row', truth_rows, 'i', n_rows - 1))
+
+        if self.mesh is None:
+            buf = np.empty((len(fields), icap), np.int32)
+            for i, (_, x, kind, fill) in enumerate(fields):
+                row = buf[i]
+                row[n:] = fill
+                if kind == 'f':
+                    row[:n] = np.asarray(x, np.float32).view(np.int32)
+                else:
+                    row[:n] = np.asarray(x).astype(np.int32)
+            names = tuple((nm, kind) for nm, _, kind, _ in fields)
+            return _unpack_inst_jit(jnp.asarray(buf), names), icap
+
+        out = {}
+        for nm, x, kind, fill in fields:
+            dtype = {'i': np.int32, 'f': np.float32, 'b': bool}[kind]
+            a = np.full(icap, fill, dtype=dtype)
+            a[:n] = x
+            out[nm] = self._shard_events(jnp.asarray(a))
         return out, icap
 
     def _prepare_type_batch(self, instructions, idx, kind):
@@ -608,40 +659,38 @@ class RawDataTPU:
         kernels), so the later blocking unpack pays no tunnel round-trip
         latency per batch (~0.2-0.5 s each through the relay).
 
-        The ravel/cast/concat runs as ONE jitted program per dtype group
-        (shape-signature cached): the eager formulation dispatched 2N+1
-        lazy ops per pack — ~110 relay-executed micro-programs per bench
-        run (jit_ravel x78 in the full-run trace), each paying fixed
-        dispatch + relay command latency for ~zero device work."""
+        The whole tree rides ONE jitted ravel/cast/concat program and ONE
+        int32 device buffer (floats bit-cast): the eager formulation
+        dispatched 2N+1 lazy ops per pack — ~110 relay-executed
+        micro-programs per bench run (jit_ravel x78 in the full-run trace)
+        — and two blocking transfers per fetch, each a relay round trip."""
         items = sorted(tree.items())
         ints = [(k, v) for k, v in items
                 if jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool]
         flts = [(k, v) for k, v in items
                 if not (jnp.issubdtype(v.dtype, jnp.integer) or v.dtype == bool)]
-        groups, spec = {}, {}
-        for name, group, fn in (('i', ints, _flat_concat_i32),
-                                ('f', flts, _flat_concat_f32)):
-            if not group:
-                continue
-            groups[name] = fn([v for _, v in group])
-            spec[name] = [(k, v.shape) for k, v in group]
-            try:
-                groups[name].copy_to_host_async()
-            except Exception:
-                pass
-        return groups, spec
+        buf = _flat_concat_mixed([v for _, v in ints], [v for _, v in flts])
+        spec = ([(k, v.shape, 'i') for k, v in ints]
+                + [(k, v.shape, 'f') for k, v in flts])
+        try:
+            buf.copy_to_host_async()
+        except Exception:
+            pass
+        return buf, spec
 
     @staticmethod
-    def _unpack_host(groups, spec):
+    def _unpack_host(buf, spec):
         """Blocking fetch + unpack of a _pack_device result."""
+        host = np.asarray(buf)
         out = {}
-        for name, fields in spec.items():
-            host = np.asarray(groups[name])
-            o = 0
-            for k, shape in fields:
-                n = int(np.prod(shape))
-                out[k] = host[o:o + n].reshape(shape)
-                o += n
+        o = 0
+        for k, shape, kind in spec:
+            n = int(np.prod(shape))
+            part = host[o:o + n]
+            if kind == 'f':
+                part = part.view(np.float32)
+            out[k] = part.reshape(shape)
+            o += n
         return out
 
     def _fetch_packed(self, tree):
@@ -1206,10 +1255,18 @@ class RawDataTPU:
                     pieces[bi, pi, 0] = base_of[p.buf] + p.buf_start
                     pieces[bi, pi, 1] = p.pool_count
                     pieces[bi, pi, 2] = p.base_time - win_base
+            if self.mesh is None:
+                # one H2D transfer for pieces+nix (2 relay ops -> 1 + a
+                # tiny split program)
+                buf = np.concatenate(
+                    [pieces.reshape(B, -1), nix[:, None]], axis=1)
+                pieces_d, nix_d = _split_pieces_jit(jnp.asarray(buf))
+            else:
+                pieces_d = self._shard_events(jnp.asarray(pieces))
+                nix_d = self._shard_events(jnp.asarray(nix))
             return nix, gather_digitize(
                 self.params, self.const, arena_t, arena_ch, arena_g,
-                self._shard_events(jnp.asarray(pieces)),
-                self._shard_events(jnp.asarray(nix)),
+                pieces_d, nix_d,
                 n_samples=T_cap, n_pieces=p_cap, n_cap=n_cap,
                 max_intervals=max_itv)
 
