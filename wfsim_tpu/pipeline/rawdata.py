@@ -887,7 +887,8 @@ class RawDataTPU:
             self.diag.seconds['sim_demand_fetch'] += time.perf_counter() - t0
             preps_all = [p for p, _ in prep_pairs]
 
-        pending = None
+        pending = None        # packed round awaiting payload collect
+        pre_pending = None    # dispatched round awaiting counts + pack
         di = 0
         for k, (order_k, safe_t) in enumerate(batches):
             truth_rows: ty.List[dict] = []
@@ -925,19 +926,28 @@ class RawDataTPU:
             self._drain_truth(truth_buffer, truth_rows)
 
             # --- digitization windows (flush-on-gap, ref rawdata.py:96-98) ---
-            # Order matters: round k's digitize kernels are dispatched
-            # FIRST, then round k-1's payload is collected + decoded (host
-            # work that hides round k's digitize compute and the counts
-            # RTT), and only then does round k block on its record counts
-            # and dispatch the exact-size pack.
+            # Two-slot deferral: round k's digitize kernels are dispatched
+            # FIRST; then round k-1 is PACKED (its record counts became
+            # ready while the whole of super-batch k simulated, so the
+            # counts fetch — one relay round trip + digitize drain, 0.8-1.6 s
+            # per run when taken eagerly — blocks for ~nothing, and k-1's
+            # payload copies start streaming); round k-2's payload (on the
+            # wire since the previous iteration) is collected + decoded
+            # last.  Windows still yield in time order — only their latency
+            # grows by one super-batch.
             with self.diag.phase('digitize'):
                 pre = self._dispatch_digitize(safe_t, rext, dt)
+                packed_new = self._pack_digitize(pre_pending)
                 if pending is not None:
                     yield from self._collect_digitize(pending)
-                pending = self._pack_digitize(pre)
-        if pending is not None:
-            with self.diag.phase('digitize'):
+                pending = packed_new
+                pre_pending = pre
+        with self.diag.phase('digitize'):
+            packed_new = self._pack_digitize(pre_pending)
+            if pending is not None:
                 yield from self._collect_digitize(pending)
+            if packed_new is not None:
+                yield from self._collect_digitize(packed_new)
         self.source_finished = True
 
     def _split_super_batches(self, arrival, order):
