@@ -501,14 +501,16 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     baseline + ~17% tail pad; noisy/bright pulses are sample-to-sample smooth
     (noise deltas are a few ADC counts, S2 envelopes rise over ~50+ samples),
     so deltas almost always fit int8 and the value stream halves again vs
-    int16. Metadata is sent per ZLE INTERVAL, not per record — 3 int32
-    words [window*2048+channel, start, pulse_length] per interval; the host
-    re-derives every record's (start, length, record_i) with
-    `expand_interval_meta` (records of an interval are consecutive in the
-    natural emission order). Exact by construction for any input.
+    int16. Metadata is sent per ZLE INTERVAL, not per record —
+    [window*2048+channel, start, pulse_length, window_left], bit-packed
+    into 2 int32 words when the static shapes allow (see the packing
+    comment below), else 4 plain words; the host re-derives every record's
+    (start, length, record_i) with `expand_interval_meta` (records of an
+    interval are consecutive in the natural emission order). Exact by
+    construction for any input.
 
-    Returns dict(itv_meta (R,3) int32 — R bounds the interval count since
-    every live interval has >=1 record — rec_masks (R,14) uint8,
+    Returns dict(itv_meta (R, 2 or 4) int32 — R bounds the interval count
+    since every live interval has >=1 record — rec_masks (R,14) uint8,
     rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
     """
     spr = SAMPLES_PER_RECORD
@@ -595,19 +597,33 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
         jnp.where(esc, epos, max_values)].set(values, mode='drop')
 
     # ---- interval table: one row per non-empty interval, natural order;
-    # the 4th word (the channel's window start) lets the host realign the
-    # noise bank to reconstruct the overlay the device stripped ----
+    # the window-start word lets the host realign the noise bank to
+    # reconstruct the overlay the device stripped.  When the (static)
+    # shapes fit — B <= 128 windows, T <= 8192 samples — the four fields
+    # bit-pack into TWO int32 words (word0 = start_rel<<14 | plen,
+    # word1 = (w*2048+c)<<13 | left_ch; start_rel < 2T needs 14 bits,
+    # plen <= T needs 14, wc <= 128*2048 needs 18, left_ch < T needs 13),
+    # halving the meta wire bytes; expand_interval_meta dispatches on the
+    # row width ----
+    B_w = starts.shape[0]
     itv_live = (itv_valid & (plen > 0)).reshape(-1)
     ipos = jnp.cumsum(itv_live.astype(jnp.int32)) - 1
     i_flat = jnp.arange(itv_live.shape[0], dtype=jnp.int32)
     w_i = i_flat // (C_all * K)
     c_i = (i_flat // K) % C_all
     left_ch = jnp.broadcast_to(left_all[:, :, None], plen.shape).reshape(-1)
-    itv_rows = jnp.stack([w_i * 2048 + c_i,
-                          left_rel.reshape(-1),
-                          plen.reshape(-1),
-                          left_ch], axis=1).astype(jnp.int32)
-    itv_meta = jnp.zeros((max_records, 4), jnp.int32).at[
+    if B_w <= 128 and T <= 8192:
+        itv_rows = jnp.stack(
+            [(left_rel.reshape(-1) << 14) | plen.reshape(-1),
+             ((w_i * 2048 + c_i) << 13) | left_ch], axis=1).astype(jnp.int32)
+        n_words = 2
+    else:
+        itv_rows = jnp.stack([w_i * 2048 + c_i,
+                              left_rel.reshape(-1),
+                              plen.reshape(-1),
+                              left_ch], axis=1).astype(jnp.int32)
+        n_words = 4
+    itv_meta = jnp.zeros((max_records, n_words), jnp.int32).at[
         jnp.where(itv_live, ipos, max_records)].set(itv_rows, mode='drop')
 
     return dict(itv_meta=itv_meta, rec_masks=masks, rec_values=d8,
@@ -619,11 +635,21 @@ def expand_interval_meta(itv_meta):
     returns (window, channel, start_sample, length, pulse_length, record_i,
     window_left), each (n_records,) numpy — records of an interval are
     consecutive in the natural emission order, so the expansion is a
-    repeat + ramp."""
+    repeat + ramp.  Accepts both layouts the pack emits: the 2-word
+    bit-packed form (row width 2) and the plain 4-word form."""
     spr = SAMPLES_PER_RECORD
-    wc = itv_meta[:, 0].astype(np.int64)
-    start = itv_meta[:, 1].astype(np.int64)
-    plen = itv_meta[:, 2].astype(np.int64)
+    if itv_meta.shape[1] == 2:
+        w0 = itv_meta[:, 0].astype(np.int64)
+        w1 = itv_meta[:, 1].astype(np.int64)
+        wc = w1 >> 13
+        start = w0 >> 14
+        plen = w0 & 0x3FFF
+        left_ch_tab = w1 & 0x1FFF
+    else:
+        wc = itv_meta[:, 0].astype(np.int64)
+        start = itv_meta[:, 1].astype(np.int64)
+        plen = itv_meta[:, 2].astype(np.int64)
+        left_ch_tab = itv_meta[:, 3].astype(np.int64)
     nrec = (plen + spr - 1) // spr
     rec_itv = np.repeat(np.arange(len(itv_meta)), nrec)
     k = np.arange(len(rec_itv)) - np.repeat(np.cumsum(nrec) - nrec, nrec)
@@ -632,7 +658,7 @@ def expand_interval_meta(itv_meta):
     start_s = start[rec_itv] + k * spr
     m_plen = plen[rec_itv]
     length = np.clip(m_plen - k * spr, 0, spr)
-    left_ch = itv_meta[:, 3].astype(np.int64)[rec_itv]
+    left_ch = left_ch_tab[rec_itv]
     return w_of, c_of, start_s, length, m_plen, k, left_ch
 
 
