@@ -1370,7 +1370,10 @@ class RawDataTPU:
             # few % of values); the rare overflow triggers one blocking
             # refetch in collect
             ne_bound = min(nv // 24 + 128, nv)
-            parts = (packed['itv_meta'][:max(n_itv, 1)],
+            # meta rides raveled: calls in one round can emit different
+            # (static) meta widths — 2-word bit-packed vs 4-word plain —
+            # and the host reshapes per call from the pack's row width
+            parts = (packed['itv_meta'][:max(n_itv, 1)].reshape(-1),
                      packed['rec_masks'][:n],
                      packed['rec_values'][:nv],
                      packed['rec_escapes'][:ne_bound])
@@ -1491,11 +1494,14 @@ class RawDataTPU:
                        + vals_all.nbytes + escs_all.nbytes)
         offs = [0, 0, 0, 0]
         for n_rec, n_val, n_itv, ne_bound, packed, nix in state['sizes']:
-            lens = (max(n_itv, 1), max(n_rec, 1), max(n_val, 1), ne_bound)
+            w_meta = int(packed['itv_meta'].shape[1])
+            lens = (max(n_itv, 1) * w_meta, max(n_rec, 1), max(n_val, 1),
+                    ne_bound)
             itv, masks, vals, escs = (
                 arr[o:o + ln] for arr, o, ln in
                 zip((itv_all, masks_all, vals_all, escs_all), offs, lens))
             offs = [o + ln for o, ln in zip(offs, lens)]
+            itv = itv.reshape(-1, w_meta)
             m, rdata = _decode_call(n_rec, n_val, n_itv, ne_bound, itv,
                                     masks, vals, escs, packed, nix)
             payload_rows.append((n_rec, m, rdata))
