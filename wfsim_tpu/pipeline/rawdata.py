@@ -887,29 +887,14 @@ class RawDataTPU:
             self.diag.seconds['sim_demand_fetch'] += time.perf_counter() - t0
             preps_all = [p for p, _ in prep_pairs]
 
-        pending = None        # packed round awaiting payload collect
-        pre_pending = None    # dispatched round awaiting counts + pack
-        di = 0
-        for k, (order_k, safe_t) in enumerate(batches):
+        def finalize_stage(jobs, safe_t):
+            """Finalize one super-batch's sim (group fetch), run its
+            electron-afterpulse feedback step (ref rawdata.py:133-140),
+            drain its truth and dispatch its digitize round."""
             truth_rows: ty.List[dict] = []
             gen_sink: ty.List[np.ndarray] = []
-
-            # --- simulate primaries in arrival-ordered batches per chain;
-            # the previous round's payload streams over the wire the whole
-            # time (its blocking collect comes after this round's digitize
-            # dispatch, so even the counts wait overlaps transfers) ---
             with self.diag.phase('simulate'):
-                if preps_all is not None:
-                    preps = preps_all[k]
-                    jobs = self._sim_dispatch_prepared(
-                        preps, demands[di:di + len(preps)], want_gen=True)
-                    di += len(preps)
-                else:
-                    jobs = self._sim_dispatch(instructions, order_k,
-                                              want_gen=True)
                 self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
-
-            # --- electron-afterpulse feedback (one step, ref rawdata.py:133-140) ---
             gen_sink = [g for g in gen_sink if len(g)]
             if gen_sink:
                 secondaries = np.concatenate(gen_sink)
@@ -921,33 +906,55 @@ class RawDataTPU:
                                                    want_gen=False)
                         self._sim_finalize(jobs2, secondaries, truth_rows,
                                            None)
-
-            # --- truth out (before this batch's windows can be yielded) ---
+            # truth out before this batch's windows can be yielded
             self._drain_truth(truth_buffer, truth_rows)
+            return self._dispatch_digitize(safe_t, rext, dt)
 
-            # --- digitization windows (flush-on-gap, ref rawdata.py:96-98) ---
-            # Two-slot deferral: round k's digitize kernels are dispatched
-            # FIRST; then round k-1 is PACKED (its record counts became
-            # ready while the whole of super-batch k simulated, so the
-            # counts fetch — one relay round trip + digitize drain, 0.8-1.6 s
-            # per run when taken eagerly — blocks for ~nothing, and k-1's
-            # payload copies start streaming); round k-2's payload (on the
-            # wire since the previous iteration) is collected + decoded
-            # last.  Windows still yield in time order — only their latency
-            # grows by one super-batch.
-            with self.diag.phase('digitize'):
-                pre = self._dispatch_digitize(safe_t, rext, dt)
-                packed_new = self._pack_digitize(pre_pending)
-                if pending is not None:
-                    yield from self._collect_digitize(pending)
-                pending = packed_new
-                pre_pending = pre
+        # Three-stage software pipeline over super-batches: dispatch sim(k),
+        # THEN finalize sim(k-1) — whose kernels and truth-pack copy
+        # executed while the host prepared/dispatched k and handled earlier
+        # rounds, so its one blocking group fetch costs ~a round trip
+        # instead of the full device-queue drain — then pack round k-2's
+        # records (counts long ready) and collect round k-3's payload (on
+        # the wire since the previous iteration).  Windows still yield in
+        # exact time order (framing is safe_t-driven, not arrival-driven);
+        # only their latency grows.  Note the sim-key counter interleaving
+        # differs from the unpipelined order, so draws differ from a
+        # depth<=1 run exactly as PARITY deviation 5 already documents.
+        pending = None        # packed round awaiting payload collect
+        pre_pending = None    # dispatched digitize round awaiting pack
+        sim_pending = None    # (jobs, safe_t) dispatched sim awaiting finalize
+        di = 0
+        for k, (order_k, safe_t) in enumerate(batches):
+            with self.diag.phase('simulate'):
+                if preps_all is not None:
+                    preps = preps_all[k]
+                    jobs = self._sim_dispatch_prepared(
+                        preps, demands[di:di + len(preps)], want_gen=True)
+                    di += len(preps)
+                else:
+                    jobs = self._sim_dispatch(instructions, order_k,
+                                              want_gen=True)
+            if sim_pending is not None:
+                pre = finalize_stage(*sim_pending)
+                with self.diag.phase('digitize'):
+                    packed_new = self._pack_digitize(pre_pending)
+                    if pending is not None:
+                        yield from self._collect_digitize(pending)
+                    pending = packed_new
+                    pre_pending = pre
+            sim_pending = (jobs, safe_t)
+
+        pre = finalize_stage(*sim_pending) if sim_pending is not None else None
         with self.diag.phase('digitize'):
             packed_new = self._pack_digitize(pre_pending)
             if pending is not None:
                 yield from self._collect_digitize(pending)
+            packed_last = self._pack_digitize(pre)
             if packed_new is not None:
                 yield from self._collect_digitize(packed_new)
+            if packed_last is not None:
+                yield from self._collect_digitize(packed_last)
         self.source_finished = True
 
     def _split_super_batches(self, arrival, order):
