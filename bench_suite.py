@@ -64,20 +64,28 @@ def run_config(name, config, inst, cpu_baseline=None):
     print(json.dumps(row), flush=True)
 
 
-def main():
+def main(only=None):
     from bench import measure_cpu_baseline, measure_cpu_optical_baseline
     n = 256
     base = dict(chunk_size=1000, seed=1234)
 
-    run_config('S1-only', default_config(**base),
-               make_inst(n, types=(1,), amps=(2000,)),
-               cpu_baseline=lambda truth: measure_cpu_baseline(
-                   n_runs=3, with_s2=False))
-    run_config('S2-only', default_config(**base),
-               make_inst(n, types=(2,), amps=(300,)),
-               cpu_baseline=lambda truth: measure_cpu_baseline(
-                   n_runs=3, with_s1=False))
+    def want(name):
+        return only is None or only in name
 
+    if want('S1-only'):
+        # S1-only events carry ~26 photons each — per-event work is tiny, so
+        # at 256 events the row measured the relay's fixed latency, not
+        # throughput (0.42x vs numpy).  4096 events amortize the fixed
+        # costs the way any production batch would.
+        run_config('S1-only', default_config(**base),
+                   make_inst(4096, types=(1,), amps=(2000,)),
+                   cpu_baseline=lambda truth: measure_cpu_baseline(
+                       n_runs=3, with_s2=False))
+    if want('S2-only'):
+        run_config('S2-only', default_config(**base),
+                   make_inst(n, types=(2,), amps=(300,)),
+                   cpu_baseline=lambda truth: measure_cpu_baseline(
+                       n_runs=3, with_s1=False))
     def _noise_baseline(truth):
         n_tot = truth['n_photon'].sum()
         frac = float(truth['n_photon'][truth['type'] > 2].sum()
@@ -85,18 +93,22 @@ def main():
         return measure_cpu_baseline(n_runs=3, realistic=True,
                                     ap_photon_frac=frac)
 
-    run_config('full S1+S2 + afterpulses + noise',
-               default_config(enable_pmt_afterpulses=True,
-                              enable_electron_afterpulses=True,
-                              enable_noise=True, **base),
-               make_inst(n), cpu_baseline=_noise_baseline)
+    if want('noise'):
+        run_config('full S1+S2 + afterpulses + noise',
+                   default_config(enable_pmt_afterpulses=True,
+                                  enable_electron_afterpulses=True,
+                                  enable_noise=True, **base),
+                   make_inst(n), cpu_baseline=_noise_baseline)
     # high-rate: per-event work on the reference is the same as the
     # headline (spacing changes window merging, not per-photon cost), so
     # the standard baseline is the matched comparison
-    run_config('high-rate S1+S2 (1 kHz)',
-               default_config(**base),
-               make_inst(1024, spacing=1_000_000),
-               cpu_baseline=lambda truth: measure_cpu_baseline(n_runs=3))
+    if want('high-rate'):
+        run_config('high-rate S1+S2 (1 kHz)',
+                   default_config(**base),
+                   make_inst(1024, spacing=1_000_000),
+                   cpu_baseline=lambda truth: measure_cpu_baseline(n_runs=3))
+    if not want('optical'):
+        return
 
     # optical (GEANT4-like photon lists), nVeto detector
     from wfsim_tpu.pipeline.chunker import ChunkRawRecords
@@ -143,4 +155,5 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    main(only=sys.argv[1] if len(sys.argv) > 1 else None)

@@ -887,44 +887,75 @@ class RawDataTPU:
             self.diag.seconds['sim_demand_fetch'] += time.perf_counter() - t0
             preps_all = [p for p, _ in prep_pairs]
 
-        def finalize_stage(jobs, safe_t):
-            """Finalize one super-batch's sim (group fetch), run its
-            electron-afterpulse feedback step (ref rawdata.py:133-140),
-            drain its truth and dispatch its digitize round."""
+        def stage_a(jobs, safe_t):
+            """Finalize one super-batch's PRIMARY sim (group fetch — its
+            kernels and truth-pack copy executed behind the intervening
+            host work, so the fetch costs ~a round trip) and DISPATCH its
+            electron-afterpulse feedback step (ref rawdata.py:133-140)
+            without blocking on it."""
             truth_rows: ty.List[dict] = []
             gen_sink: ty.List[np.ndarray] = []
             with self.diag.phase('simulate'):
                 self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
             gen_sink = [g for g in gen_sink if len(g)]
+            jobs2 = secondaries = None
             if gen_sink:
-                secondaries = np.concatenate(gen_sink)
-                if len(secondaries):
-                    arr2 = self._arrival_times(secondaries)
+                sec = np.concatenate(gen_sink)
+                if len(sec):
+                    arr2 = self._arrival_times(sec)
                     order2 = np.argsort(arr2, kind='stable')
                     with self.diag.phase('simulate_afterpulses'):
-                        jobs2 = self._sim_dispatch(secondaries, order2,
+                        jobs2 = self._sim_dispatch(sec, order2,
                                                    want_gen=False)
-                        self._sim_finalize(jobs2, secondaries, truth_rows,
-                                           None)
+                    secondaries = sec
+            return (jobs2, secondaries, truth_rows, safe_t)
+
+        def stage_b(jobs2, secondaries, truth_rows, safe_t):
+            """Finalize the batch's afterpulse secondaries (their kernels
+            ran behind the next batch's stage-a work), drain its truth and
+            dispatch its digitize round."""
+            if jobs2 is not None:
+                with self.diag.phase('simulate_afterpulses'):
+                    self._sim_finalize(jobs2, secondaries, truth_rows, None)
             # truth out before this batch's windows can be yielded
             self._drain_truth(truth_buffer, truth_rows)
             return self._dispatch_digitize(safe_t, rext, dt)
 
-        # Three-stage software pipeline over super-batches: dispatch sim(k),
-        # THEN finalize sim(k-1) — whose kernels and truth-pack copy
-        # executed while the host prepared/dispatched k and handled earlier
-        # rounds, so its one blocking group fetch costs ~a round trip
-        # instead of the full device-queue drain — then pack round k-2's
-        # records (counts long ready) and collect round k-3's payload (on
-        # the wire since the previous iteration).  Windows still yield in
-        # exact time order (framing is safe_t-driven, not arrival-driven);
-        # only their latency grows.  Note the sim-key counter interleaving
-        # differs from the unpipelined order, so draws differ from a
-        # depth<=1 run exactly as PARITY deviation 5 already documents.
+        # Software pipeline over super-batches, one stage per dependency
+        # edge: dispatch sim(k); stage_a(k-1) = finalize primaries +
+        # dispatch afterpulse secondaries; stage_b(k-2) = finalize
+        # secondaries + drain truth + dispatch digitize; pack round k-3's
+        # records (counts long ready); collect round k-4's payload (on the
+        # wire since the previous iteration).  Every blocking fetch thus
+        # waits on device work queued >= one full stage earlier, costing a
+        # round trip instead of the device-queue drain (sim_group_fetch
+        # measured 2.6-3.7 s/run eager, 0.7-0.9 s one stage deep; the
+        # secondary fetch 2.2 s when taken in the same stage).  Windows
+        # still yield in exact time order (framing is safe_t-driven, not
+        # arrival-driven); only their latency grows.  The sim-key counter
+        # interleaving differs from the unpipelined order, so draws differ
+        # from a depth<=1 run exactly as PARITY deviation 5 documents.
         pending = None        # packed round awaiting payload collect
         pre_pending = None    # dispatched digitize round awaiting pack
-        sim_pending = None    # (jobs, safe_t) dispatched sim awaiting finalize
+        ap_pending = None     # stage_a output awaiting stage_b
+        sim_pending = None    # (jobs, safe_t) dispatched sim awaiting stage_a
         di = 0
+
+        def advance(sim_next):
+            """Rotate the pipeline one super-batch forward; yields any
+            round whose payload completed."""
+            nonlocal pending, pre_pending, ap_pending, sim_pending
+            ap_new = stage_a(*sim_pending) if sim_pending is not None else None
+            pre_new = stage_b(*ap_pending) if ap_pending is not None else None
+            with self.diag.phase('digitize'):
+                packed_new = self._pack_digitize(pre_pending)
+                if pending is not None:
+                    yield from self._collect_digitize(pending)
+            pending = packed_new
+            pre_pending = pre_new
+            ap_pending = ap_new
+            sim_pending = sim_next
+
         for k, (order_k, safe_t) in enumerate(batches):
             with self.diag.phase('simulate'):
                 if preps_all is not None:
@@ -935,26 +966,14 @@ class RawDataTPU:
                 else:
                     jobs = self._sim_dispatch(instructions, order_k,
                                               want_gen=True)
-            if sim_pending is not None:
-                pre = finalize_stage(*sim_pending)
-                with self.diag.phase('digitize'):
-                    packed_new = self._pack_digitize(pre_pending)
-                    if pending is not None:
-                        yield from self._collect_digitize(pending)
-                    pending = packed_new
-                    pre_pending = pre
-            sim_pending = (jobs, safe_t)
-
-        pre = finalize_stage(*sim_pending) if sim_pending is not None else None
-        with self.diag.phase('digitize'):
-            packed_new = self._pack_digitize(pre_pending)
-            if pending is not None:
-                yield from self._collect_digitize(pending)
-            packed_last = self._pack_digitize(pre)
-            if packed_new is not None:
-                yield from self._collect_digitize(packed_new)
-            if packed_last is not None:
-                yield from self._collect_digitize(packed_last)
+            yield from advance((jobs, safe_t))
+        # drain: trailing rotations flush sim -> secondaries -> digitize ->
+        # pack -> collect for the last batches
+        for _ in range(4):
+            if (sim_pending is None and ap_pending is None
+                    and pre_pending is None and pending is None):
+                break
+            yield from advance(None)
         self.source_finished = True
 
     def _split_super_batches(self, arrival, order):
