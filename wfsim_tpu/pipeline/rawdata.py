@@ -941,10 +941,17 @@ class RawDataTPU:
         sim_pending = None    # (jobs, safe_t) dispatched sim awaiting stage_a
         di = 0
 
-        def advance(sim_next):
+        def advance(dispatch_sim):
             """Rotate the pipeline one super-batch forward; yields any
-            round whose payload completed."""
+            round whose payload completed.  Stage order within a rotation
+            was A/B'd on the relay (pack-kernels-first and group-fetch-
+            first variants): the SUM of the blocking waits is conserved —
+            it is the device+wire critical path, not host scheduling — and
+            this order (sim dispatch, stage_a, stage_b, pack, collect)
+            measured best (payload slices keep the wire busy across the
+            rotation boundary while the next batch's kernels execute)."""
             nonlocal pending, pre_pending, ap_pending, sim_pending
+            sim_next = dispatch_sim() if dispatch_sim is not None else None
             ap_new = stage_a(*sim_pending) if sim_pending is not None else None
             pre_new = stage_b(*ap_pending) if ap_pending is not None else None
             with self.diag.phase('digitize'):
@@ -956,7 +963,8 @@ class RawDataTPU:
             ap_pending = ap_new
             sim_pending = sim_next
 
-        for k, (order_k, safe_t) in enumerate(batches):
+        def _dispatch_sim_batch(k, order_k, safe_t):
+            nonlocal di
             with self.diag.phase('simulate'):
                 if preps_all is not None:
                     preps = preps_all[k]
@@ -966,7 +974,11 @@ class RawDataTPU:
                 else:
                     jobs = self._sim_dispatch(instructions, order_k,
                                               want_gen=True)
-            yield from advance((jobs, safe_t))
+            return (jobs, safe_t)
+
+        for k, (order_k, safe_t) in enumerate(batches):
+            yield from advance(partial(_dispatch_sim_batch, k, order_k,
+                                       safe_t))
         # drain: trailing rotations flush sim -> secondaries -> digitize ->
         # pack -> collect for the last batches
         for _ in range(4):
@@ -1514,8 +1526,11 @@ class RawDataTPU:
         # SLOWER (GIL contention with the blocking device fetches);
         # inline decode after the single round-level collect wins here
         if state['sizes']:
+            t_w0 = time.perf_counter()
             itv_all, masks_all, vals_all, escs_all = \
                 _collect_sliced(state['tok'])
+            self.diag.seconds['digitize_payload_wait'] += \
+                time.perf_counter() - t_w0
             nbytes += (itv_all.nbytes + masks_all.nbytes
                        + vals_all.nbytes + escs_all.nbytes)
         offs = [0, 0, 0, 0]
