@@ -52,6 +52,9 @@ static PyObject *pack_windows(PyObject *self, PyObject *args) {
         goto fail;
     }
 
+    /* pure buffer work below — release the GIL so a worker-thread caller
+     * overlaps with the main thread's blocking device fetches */
+    Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t m = 0; m < n_pieces; m++) {
         int32_t w = pwin[m];
         if (w < 0 || w >= n_win) continue;
@@ -70,6 +73,7 @@ static PyObject *pack_windows(PyObject *self, PyObject *args) {
         }
         fill[w] += c;
     }
+    Py_END_ALLOW_THREADS
 
     PyObject *res = PyList_New(n_win);
     if (!res) { free(fill); goto fail; }
@@ -109,6 +113,7 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
 
     int in_interval = 0;
     Py_ssize_t cur = 0, start = -1, end = -1;
+    Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t i = 0; i < T; i++) {
         if (w[i] < threshold) {
             if (!in_interval) { in_interval = 1; start = i; }
@@ -126,6 +131,7 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
             }
         }
     }
+    Py_END_ALLOW_THREADS
     PyBuffer_Release(&wbuf);
     PyBuffer_Release(&rbuf);
     return PyLong_FromSsize_t(cur);
@@ -184,7 +190,11 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
     }
 
     Py_ssize_t vi = 0, ei = 0;
-    for (Py_ssize_t r = 0; r < R; r++) {
+    int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun */
+    /* hot loop runs without the GIL (error reporting via flag) so a
+     * worker-thread decode overlaps the main thread's blocking fetches */
+    Py_BEGIN_ALLOW_THREADS
+    for (Py_ssize_t r = 0; r < R && !err; r++) {
         const uint8_t *m = pm + r * 14;
         int16_t *o = po + r * 110;
         int32_t len = pl[r];
@@ -192,17 +202,10 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         for (int k = 0; k < 110; k++) {
             int32_t pred = (k < len) ? (int32_t)baseline : 0;
             if (m[k >> 3] & (uint8_t)(0x80u >> (k & 7))) {
-                if (vi >= V) {
-                    PyErr_SetString(PyExc_ValueError, "DPCM stream overrun");
-                    goto fail;
-                }
+                if (vi >= V) { err = 1; break; }
                 int8_t d = pd[vi++];
                 if (d == -128) {
-                    if (ei >= E) {
-                        PyErr_SetString(PyExc_ValueError,
-                                        "escape stream overrun");
-                        goto fail;
-                    }
+                    if (ei >= E) { err = 2; break; }
                     v = (int32_t)pe[ei++];
                 } else {
                     v += (int32_t)d;
@@ -212,6 +215,8 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
                 o[k] = (int16_t)pred;
             }
         }
+        if (err)
+            break;
         if (L > 0 && len > 0 && pch[r] >= 0 && pch[r] < Cn) {
             int64_t s0 = (pnx[r] + pst[r] - plf[r]) % L;
             if (s0 < 0) s0 += L;
@@ -221,6 +226,12 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
                 o[k] = (int16_t)(uint16_t)((uint16_t)o[k]
                                            + (uint16_t)nrow[k]);
         }
+    }
+    Py_END_ALLOW_THREADS
+    if (err) {
+        PyErr_SetString(PyExc_ValueError, err == 1 ? "DPCM stream overrun"
+                                                   : "escape stream overrun");
+        goto fail;
     }
 
     PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);

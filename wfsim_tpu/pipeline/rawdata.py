@@ -27,6 +27,7 @@ from __future__ import annotations
 import logging
 import time
 import typing as ty
+from concurrent import futures
 from functools import partial
 
 import numpy as np
@@ -940,6 +941,7 @@ class RawDataTPU:
         ap_pending = None     # stage_a output awaiting stage_b
         sim_pending = None    # (jobs, safe_t) dispatched sim awaiting stage_a
         di = 0
+        collector = futures.ThreadPoolExecutor(max_workers=1)
 
         def advance(dispatch_sim):
             """Rotate the pipeline one super-batch forward; yields any
@@ -949,15 +951,31 @@ class RawDataTPU:
             it is the device+wire critical path, not host scheduling — and
             this order (sim dispatch, stage_a, stage_b, pack, collect)
             measured best (payload slices keep the wire busy across the
-            rotation boundary while the next batch's kernels execute)."""
+            rotation boundary while the next batch's kernels execute).
+
+            The pending round's payload wait + native decode + record
+            split run on a worker thread STARTED before the rotation's
+            stages: the native decode drops the GIL (native/fastpath.c)
+            and numpy's big ops do too, so on this single-core host the
+            round's host CPU work fills the rotation's otherwise-idle
+            blocking waits (sim_group_fetch, counts fetch) instead of
+            extending the wall after them.  Only one worker round is in
+            flight at a time, so the record arena and diag counters stay
+            single-writer; window yields keep their exact rotation slot."""
             nonlocal pending, pre_pending, ap_pending, sim_pending
+            work = (collector.submit(self._collect_digitize_work, pending)
+                    if pending is not None else None)
             sim_next = dispatch_sim() if dispatch_sim is not None else None
             ap_new = stage_a(*sim_pending) if sim_pending is not None else None
             pre_new = stage_b(*ap_pending) if ap_pending is not None else None
             with self.diag.phase('digitize'):
                 packed_new = self._pack_digitize(pre_pending)
-                if pending is not None:
-                    yield from self._collect_digitize(pending)
+                if work is not None:
+                    t0 = time.perf_counter()
+                    results = work.result()
+                    self.diag.seconds['digitize_collect_join'] += \
+                        time.perf_counter() - t0
+                    yield from self._yield_digitize(pending, results)
             pending = packed_new
             pre_pending = pre_new
             ap_pending = ap_new
@@ -976,16 +994,19 @@ class RawDataTPU:
                                               want_gen=True)
             return (jobs, safe_t)
 
-        for k, (order_k, safe_t) in enumerate(batches):
-            yield from advance(partial(_dispatch_sim_batch, k, order_k,
-                                       safe_t))
-        # drain: trailing rotations flush sim -> secondaries -> digitize ->
-        # pack -> collect for the last batches
-        for _ in range(4):
-            if (sim_pending is None and ap_pending is None
-                    and pre_pending is None and pending is None):
-                break
-            yield from advance(None)
+        try:
+            for k, (order_k, safe_t) in enumerate(batches):
+                yield from advance(partial(_dispatch_sim_batch, k, order_k,
+                                           safe_t))
+            # drain: trailing rotations flush sim -> secondaries ->
+            # digitize -> pack -> collect for the last batches
+            for _ in range(4):
+                if (sim_pending is None and ap_pending is None
+                        and pre_pending is None and pending is None):
+                    break
+                yield from advance(None)
+        finally:
+            collector.shutdown(wait=True)
         self.source_finished = True
 
     def _split_super_batches(self, arrival, order):
@@ -1489,11 +1510,21 @@ class RawDataTPU:
         """Block on a dispatched digitize round's payload transfers, decode
         the residual stream (re-applying the noise overlay host-side), split
         records per window and yield the windows in time order."""
+        if state is None:
+            return
+        yield from self._yield_digitize(state, self._collect_digitize_work(state))
+
+    def _collect_digitize_work(self, state):
+        """The blocking/CPU half of :meth:`_collect_digitize` — payload
+        wait, native decode, per-window record split.  No generator state
+        and no Simulator time-cursor mutation, so iter_windows can run it
+        in a worker thread: the payload wait and the (GIL-free) native
+        decode + numpy split overlap the main thread's blocking device
+        fetches for the NEXT rotation (sim_group_fetch), which release the
+        GIL inside the runtime.  Returns the per-window record views."""
         from ..dtypes import raw_record_dtype, DEFAULT_RECORD_LENGTH
         from .digitize import expand_interval_meta
         from ..native import decode_residual_records
-        if state is None:
-            return
         wins = state['wins']
         baseline = state['baseline']
         noise_host = state['noise_host']
@@ -1522,9 +1553,6 @@ class RawDataTPU:
                     m[3], masks[:n_rec], vals[:n_val], escs[:n_esc],
                     baseline)
             return m, rdata
-        # note: pushing decode to a worker thread was tried and measured
-        # SLOWER (GIL contention with the blocking device fetches);
-        # inline decode after the single round-level collect wins here
         if state['sizes']:
             t_w0 = time.perf_counter()
             itv_all, masks_all, vals_all, escs_all = \
@@ -1605,7 +1633,13 @@ class RawDataTPU:
         self.diag.add('records', N)
         self.diag.seconds['digitize_host_split'] += \
             time.perf_counter() - t_split0
+        return results
 
+    def _yield_digitize(self, state, results):
+        """Yield a collected round's windows in time order, advancing the
+        Simulator time cursors (main-thread only)."""
+        wins = state['wins']
+        dt = state['dt']
         for wi, w in enumerate(wins):
             self.left = w['win_left']
             self.right = w['win_right']
