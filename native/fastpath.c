@@ -138,10 +138,19 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
 }
 
 /* decode_records_noise(masks uint8[R,14], d8 int8[V], escs int16[E],
- *                      lengths int32[R], out int16[R,110], baseline,
+ *                      lengths int32[R], out bytes, baseline,
  *                      channel int32[R], start_s int64[R], left_ch int64[R],
- *                      nix int32[R], ext int16[Cn, L+110], L)
+ *                      nix int32[R], ext int16[Cn, L+110], L,
+ *                      rowmap int64[R] (len 0 = identity),
+ *                      row_pitch bytes, data_off bytes)
  * -> (values_used, escapes_used)
+ *
+ * Record r's 110 int16 samples are written at
+ * out + data_off + rowmap[r] * row_pitch — passing the final structured
+ * record array (itemsize pitch, 'data' field offset) as ``out`` with the
+ * sort permutation as ``rowmap`` scatters decoded rows straight into
+ * their time-sorted slots, skipping the dense temp + concat + permuted
+ * gather the split stage otherwise pays (~3 extra full-payload passes).
  *
  * Fused host decode of the residual record transport (the numpy
  * reference path is decode_records + add_noise_host in
@@ -158,17 +167,20 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
  * truncates to int16 on store; the noise add wraps in int16.
  */
 static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
-    Py_buffer masks, d8, escs, lens, out, chan, start, left, nix, ext;
-    long long baseline, L;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*w*Ly*y*y*y*y*L",
+    Py_buffer masks, d8, escs, lens, out, chan, start, left, nix, ext,
+        rowmap;
+    long long baseline, L, row_pitch, data_off;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*w*Ly*y*y*y*y*Ly*LL",
                           &masks, &d8, &escs, &lens, &out, &baseline,
-                          &chan, &start, &left, &nix, &ext, &L))
+                          &chan, &start, &left, &nix, &ext, &L,
+                          &rowmap, &row_pitch, &data_off))
         return NULL;
     const uint8_t *pm = (const uint8_t *)masks.buf;
     const int8_t *pd = (const int8_t *)d8.buf;
     const int16_t *pe = (const int16_t *)escs.buf;
     const int32_t *pl = (const int32_t *)lens.buf;
-    int16_t *po = (int16_t *)out.buf;
+    uint8_t *pob = (uint8_t *)out.buf;
+    const int64_t *prm = rowmap.len ? (const int64_t *)rowmap.buf : NULL;
     const int32_t *pch = (const int32_t *)chan.buf;
     const int64_t *pst = (const int64_t *)start.buf;
     const int64_t *plf = (const int64_t *)left.buf;
@@ -183,20 +195,30 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         extw = L + 110;
         Cn = ext.len / (Py_ssize_t)sizeof(int16_t) / extw;
     }
-    if (out.len < R * 110 * (Py_ssize_t)sizeof(int16_t) ||
-        masks.len < R * 14) {
+    if (row_pitch < 110 * (Py_ssize_t)sizeof(int16_t))
+        row_pitch = 110 * (Py_ssize_t)sizeof(int16_t);
+    if ((prm == NULL
+         && out.len < data_off + R * row_pitch) ||
+        masks.len < R * 14 ||
+        (prm != NULL && rowmap.len < R * (Py_ssize_t)sizeof(int64_t))) {
         PyErr_SetString(PyExc_ValueError, "decode buffer size mismatch");
         goto fail;
     }
+    Py_ssize_t max_dest = (out.len - data_off) / row_pitch;
+    if ((out.len - data_off) % row_pitch
+        >= 110 * (Py_ssize_t)sizeof(int16_t))
+        max_dest += 1;   /* a trailing partial pitch still fits one row */
 
     Py_ssize_t vi = 0, ei = 0;
-    int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun */
+    int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun, 3 = rowmap */
     /* hot loop runs without the GIL (error reporting via flag) so a
      * worker-thread decode overlaps the main thread's blocking fetches */
     Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t r = 0; r < R && !err; r++) {
         const uint8_t *m = pm + r * 14;
-        int16_t *o = po + r * 110;
+        Py_ssize_t dest = prm ? (Py_ssize_t)prm[r] : r;
+        if (dest < 0 || dest >= max_dest) { err = 3; break; }
+        int16_t *o = (int16_t *)(pob + data_off + dest * row_pitch);
         int32_t len = pl[r];
         int32_t v = (int32_t)baseline;
         for (int k = 0; k < 110; k++) {
@@ -229,22 +251,24 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
     }
     Py_END_ALLOW_THREADS
     if (err) {
-        PyErr_SetString(PyExc_ValueError, err == 1 ? "DPCM stream overrun"
-                                                   : "escape stream overrun");
+        PyErr_SetString(PyExc_ValueError,
+                        err == 1 ? "DPCM stream overrun"
+                        : err == 2 ? "escape stream overrun"
+                                   : "rowmap destination out of range");
         goto fail;
     }
 
     PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
-    PyBuffer_Release(&ext);
+    PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);
     return Py_BuildValue("(nn)", (Py_ssize_t)vi, (Py_ssize_t)ei);
 
 fail:
     PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
-    PyBuffer_Release(&ext);
+    PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);
     return NULL;
 }
 

@@ -96,6 +96,58 @@ def test_decode_with_noise_matches_numpy():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_decode_scatter_into_records_matches_dense():
+    """Scatter mode (out_records + rowmap) must write exactly the dense
+    decode's rows into the mapped slots of the structured array, through
+    both the native and the numpy fallback paths, with noise re-add."""
+    from wfsim_tpu.dtypes import raw_record_dtype
+    rng = np.random.default_rng(17)
+    baseline = 16000
+    R = 211
+    Cn, L = 16, 503
+    recs, lengths = _random_records(rng, R, baseline, wild=True)
+    masks, d8, escs = _encode(recs, lengths, baseline, rng)
+    bank = rng.integers(-40, 40, (L, Cn)).astype(np.int32)
+    ext = noise_bank_ext_cm(bank)
+    channel = rng.integers(0, Cn + 4, R).astype(np.int64)
+    start_s = rng.integers(0, 3000, R).astype(np.int64)
+    left_ch = rng.integers(0, 3000, R).astype(np.int64)
+    nix = rng.integers(0, L, R).astype(np.int64)
+
+    dense = native.decode_residual_records(
+        lengths, masks, d8, escs, baseline, channel=channel,
+        start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank, ext_cm=ext)
+
+    rowmap = rng.permutation(R).astype(np.int64)
+    out = np.zeros(R, raw_record_dtype(SAMPLES_PER_RECORD))
+    ret = native.decode_residual_records(
+        lengths, masks, d8, escs, baseline, channel=channel,
+        start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank, ext_cm=ext,
+        out_records=out, rowmap=rowmap)
+    assert ret is None
+    np.testing.assert_array_equal(out['data'][rowmap], dense)
+
+    # numpy fallback path (bitwise-identical by contract)
+    out2 = np.zeros(R, raw_record_dtype(SAMPLES_PER_RECORD))
+    orig = native.HAVE_NATIVE
+    try:
+        native.HAVE_NATIVE = False
+        native.decode_residual_records(
+            lengths, masks, d8, escs, baseline, channel=channel,
+            start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank,
+            ext_cm=ext, out_records=out2, rowmap=rowmap)
+    finally:
+        native.HAVE_NATIVE = orig
+    np.testing.assert_array_equal(out2['data'], out['data'])
+
+    # out-of-range rowmap must raise, not scribble
+    bad = rowmap.copy()
+    bad[3] = R + 7
+    with pytest.raises(ValueError):
+        native.decode_residual_records(
+            lengths, masks, d8, escs, baseline, out_records=out, rowmap=bad)
+
+
 def test_decode_empty():
     out = native.decode_residual_records(
         np.zeros(0, np.int64), np.zeros((0, 14), np.uint8),

@@ -90,7 +90,8 @@ def find_intervals_below_threshold(w, threshold, holdoff, result_buffer):
 
 def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
                             channel=None, start_s=None, left_ch=None,
-                            nix_rec=None, bank=None, ext_cm=None):
+                            nix_rec=None, bank=None, ext_cm=None,
+                            out_records=None, rowmap=None):
     """Decode the residual record transport and (optionally) re-apply the
     noise overlay, in one fused native pass when the extension is built;
     otherwise via the numpy reference path (pipeline.digitize.decode_records
@@ -101,14 +102,29 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
         exactly to the escape count)
     :param channel/start_s/left_ch/nix_rec/bank/ext_cm: noise re-add inputs
         (all None = no noise); ``ext_cm`` is noise_bank_ext_cm(bank)
-    :returns: (R, 110) int16 record payload
+    :param out_records: optional C-contiguous structured record array with a
+        ``(110,) int16 'data'`` field — record r's samples are written
+        straight into ``out_records['data'][rowmap[r]]`` (``rowmap`` None =
+        row r), skipping the dense temp entirely (the collect stage passes
+        the time-sorted arena slice with the sort permutation here)
+    :returns: (R, 110) int16 record payload, or None with ``out_records``
     """
     from .pipeline.digitize import (decode_records, add_noise_host,
                                     noise_bank_ext_cm, SAMPLES_PER_RECORD)
     R = len(lengths)
     noise_on = bank is not None
     if HAVE_NATIVE:
-        out = np.empty((R, SAMPLES_PER_RECORD), np.int16)
+        if out_records is not None:
+            dtf = out_records.dtype
+            data_off = dtf.fields['data'][1]
+            pitch = dtf.itemsize
+            dest = out_records
+            rm = (np.ascontiguousarray(rowmap, np.int64)
+                  if rowmap is not None else np.zeros(0, np.int64))
+        else:
+            dest = np.empty((R, SAMPLES_PER_RECORD), np.int16)
+            data_off, pitch = 0, 2 * SAMPLES_PER_RECORD
+            rm = np.zeros(0, np.int64)
         if noise_on and ext_cm is None:
             ext_cm = noise_bank_ext_cm(bank)
         L = int(bank.shape[0]) if noise_on else 0
@@ -119,17 +135,23 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
             np.ascontiguousarray(d8, np.int8),
             np.ascontiguousarray(esc_vals, np.int16),
             np.ascontiguousarray(lengths, np.int32),
-            out, int(baseline),
+            dest, int(baseline),
             np.ascontiguousarray(channel, np.int32) if noise_on else zi32,
             np.ascontiguousarray(start_s, np.int64) if noise_on else zi64,
             np.ascontiguousarray(left_ch, np.int64) if noise_on else zi64,
             np.ascontiguousarray(nix_rec, np.int32) if noise_on else zi32,
             np.ascontiguousarray(ext_cm, np.int16) if noise_on
             else np.zeros(0, np.int16),
-            L)
-        return out
+            L, rm, pitch, int(data_off))
+        return None if out_records is not None else dest
     out = decode_records(lengths, masks, d8, esc_vals, baseline)
     if noise_on:
         add_noise_host(out, channel, start_s, lengths, left_ch, nix_rec,
                        bank, ext_cm=ext_cm)
+    if out_records is not None:
+        if rowmap is not None:
+            out_records['data'][np.asarray(rowmap, np.int64)] = out
+        else:
+            out_records['data'][:R] = out
+        return None
     return out

@@ -1534,25 +1534,6 @@ class RawDataTPU:
         t0 = time.perf_counter()
         nbytes = 0
         payload_rows = []
-
-        def _decode_call(n_rec, n_val, n_itv, ne_bound, itv, masks, vals,
-                         escs, packed, nix):
-            n_esc = int(np.count_nonzero(vals[:n_val] == -128))
-            if n_esc > ne_bound:
-                escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
-            m = expand_interval_meta(itv[:n_itv])
-            assert len(m[0]) == n_rec, (len(m[0]), n_rec)
-            if noise_host is not None:
-                rdata = decode_residual_records(
-                    m[3], masks[:n_rec], vals[:n_val], escs[:n_esc],
-                    baseline, channel=m[1], start_s=m[2], left_ch=m[6],
-                    nix_rec=nix[m[0]], bank=noise_host[0],
-                    ext_cm=noise_host[1])
-            else:
-                rdata = decode_residual_records(
-                    m[3], masks[:n_rec], vals[:n_val], escs[:n_esc],
-                    baseline)
-            return m, rdata
         if state['sizes']:
             t_w0 = time.perf_counter()
             itv_all, masks_all, vals_all, escs_all = \
@@ -1571,9 +1552,16 @@ class RawDataTPU:
                 zip((itv_all, masks_all, vals_all, escs_all), offs, lens))
             offs = [o + ln for o, ln in zip(offs, lens)]
             itv = itv.reshape(-1, w_meta)
-            m, rdata = _decode_call(n_rec, n_val, n_itv, ne_bound, itv,
-                                    masks, vals, escs, packed, nix)
-            payload_rows.append((n_rec, m, rdata))
+            # meta expansion only — sample decode is deferred until the
+            # global record order is known, so the decoder can scatter
+            # rows straight into their final arena slots
+            n_esc = int(np.count_nonzero(vals[:n_val] == -128))
+            if n_esc > ne_bound:
+                escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
+            m = expand_interval_meta(itv[:n_itv])
+            assert len(m[0]) == n_rec, (len(m[0]), n_rec)
+            payload_rows.append((n_rec, m, masks[:n_rec],
+                                 vals[:n_val], escs[:n_esc], nix))
         self.diag.seconds['digitize_payload_fetch'] += \
             time.perf_counter() - t0
         self.diag.add('payload_bytes', nbytes)
@@ -1589,8 +1577,9 @@ class RawDataTPU:
         t_split0 = time.perf_counter()
         results = [None] * len(wins)
         win_counts = np.zeros(len(wins), np.int64)
-        W_p, C_p, S_p, LEN_p, PLEN_p, RECI_p, R_p = ([] for _ in range(7))
-        for batch, (n_rec, m, rdata) in zip(state['batches'], payload_rows):
+        W_p, C_p, S_p, LEN_p, PLEN_p, RECI_p = ([] for _ in range(6))
+        for batch, (n_rec, m, _, _, _, _) in zip(state['batches'],
+                                                 payload_rows):
             # split records by window (ascending by design)
             bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
             win_counts[np.asarray(batch)] = np.diff(bounds)
@@ -1600,7 +1589,6 @@ class RawDataTPU:
             LEN_p.append(m[3])
             PLEN_p.append(m[4])
             RECI_p.append(m[5])
-            R_p.append(rdata)
         offsets = np.concatenate([[0], np.cumsum(win_counts)])
         N = int(offsets[-1])
         chunk_arr = self._arena_alloc(N, raw_record_dtype(spr))
@@ -1626,8 +1614,29 @@ class RawDataTPU:
             recs['length'] = np.concatenate(LEN_p)[order]
             recs['pulse_length'] = np.concatenate(PLEN_p)[order]
             recs['record_i'] = np.concatenate(RECI_p)[order]
-            recs['data'] = (R_p[0] if len(R_p) == 1
-                            else np.concatenate(R_p))[order]
+            # decode each batch's sample stream DIRECTLY into its records'
+            # final sorted slots (inverse permutation as the row map): the
+            # dense temp, np.concatenate and permuted 'data' gather this
+            # replaces were ~3 extra full-payload memory passes per round
+            inv = np.empty(N, np.int64)
+            inv[order] = np.arange(N, dtype=np.int64)
+            roff = 0
+            for n_rec, m, masks, vals, escs, nix in payload_rows:
+                rmap = inv[roff:roff + n_rec]
+                roff += n_rec
+                if not n_rec:
+                    continue
+                if noise_host is not None:
+                    decode_residual_records(
+                        m[3], masks, vals, escs, baseline,
+                        channel=m[1], start_s=m[2], left_ch=m[6],
+                        nix_rec=nix[m[0]], bank=noise_host[0],
+                        ext_cm=noise_host[1], out_records=recs,
+                        rowmap=rmap)
+                else:
+                    decode_residual_records(
+                        m[3], masks, vals, escs, baseline,
+                        out_records=recs, rowmap=rmap)
         for wi in range(len(wins)):
             results[wi] = chunk_arr[offsets[wi]:offsets[wi + 1]]
         self.diag.add('records', N)
