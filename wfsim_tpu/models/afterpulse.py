@@ -184,17 +184,37 @@ def photon_summaries(photons, key, *, n_inst: int, k_candidates: int = 64):
     return counts, t_zero
 
 
+_coarse_grid_cache: dict = {}
+
+
+def _coarse_grid(bin_centers, config):
+    """The diffusion-matched coarse delay grid of reduce_instruction_timing.
+    It depends only on (bin_centers, two config scalars) — NOT on the delays
+    being binned — so it is built once and cached: the sequential
+    grid-growing loop (an argmin over bin_centers per step) otherwise reran
+    identically for every source S2 instruction in every round."""
+    bc = np.asarray(bin_centers)
+    key = (bc.tobytes(), float(config['diffusion_constant_longitudinal']),
+           float(config['drift_velocity_liquid']))
+    coarse = _coarse_grid_cache.get(key)
+    if coarse is None:
+        spread = np.sqrt(2 * config['diffusion_constant_longitudinal'] * bc)
+        spread = spread / config['drift_velocity_liquid']
+        grid, ct = [], 100.0
+        while ct < bc[-1]:
+            grid.append(ct)
+            ct += spread[np.argmin(np.abs(ct - bc))]
+        coarse = np.array(grid)
+        if len(_coarse_grid_cache) > 16:
+            _coarse_grid_cache.clear()
+        _coarse_grid_cache[key] = coarse
+    return coarse
+
+
 def reduce_instruction_timing(ap_delay, bin_centers, config):
     """Host-side: coarse-bin photoionization delays so electrons that diffuse
     together share one instruction (reference: afterpulse.py:63-80)."""
-    spread = np.sqrt(2 * config['diffusion_constant_longitudinal']
-                     * np.asarray(bin_centers))
-    spread = spread / config['drift_velocity_liquid']
-    coarse, ct = [], 100.0
-    while ct < bin_centers[-1]:
-        coarse.append(ct)
-        ct += spread[np.argmin(np.abs(ct - bin_centers))]
-    coarse = np.array(coarse)
+    coarse = _coarse_grid(bin_centers, config)
     sel = ap_delay < coarse[-1]
     idx = np.digitize(ap_delay[sel], coarse)
     idxs, n = np.unique(idx, return_counts=True)
