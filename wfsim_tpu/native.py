@@ -6,14 +6,63 @@ everything here works identically without it.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def _autobuild():
+    """Best-effort one-time build of the C extension when it is missing.
+
+    Ephemeral/re-imaged hosts lose the in-place ``_fastpath`` shared object
+    (it is a build artifact, not checked in); silently falling back to the
+    numpy paths costs ~2x on the host decode/split stages, so when the
+    source tree and a C compiler are present, compile into a per-user cache
+    keyed by source mtime/size and python ABI, and load from there.  Any
+    failure (no compiler, read-only FS, installed-wheel layout without the
+    source) degrades to the numpy fallbacks exactly as before.  Set
+    WFSIM_TPU_NO_AUTOBUILD=1 to disable.
+    """
+    if os.environ.get('WFSIM_TPU_NO_AUTOBUILD'):
+        return None
+    import importlib.util
+    import subprocess
+    import sysconfig
+    try:
+        src = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), 'native', 'fastpath.c')
+        if not os.path.isfile(src):
+            return None
+        st = os.stat(src)
+        suffix = sysconfig.get_config_var('EXT_SUFFIX') or '.so'
+        cache = os.path.join(os.path.expanduser('~'), '.cache',
+                             'wfsim_tpu_native')
+        so = os.path.join(cache, '_fastpath_%d_%d%s'
+                          % (int(st.st_mtime), st.st_size, suffix))
+        if not os.path.isfile(so):
+            os.makedirs(cache, exist_ok=True)
+            cc = os.environ.get('CC', 'cc')
+            tmp = so + '.tmp%d' % os.getpid()
+            subprocess.run(
+                [cc, '-O3', '-fPIC', '-shared', src,
+                 '-I' + sysconfig.get_paths()['include'], '-o', tmp],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)   # atomic: concurrent builders agree
+        spec = importlib.util.spec_from_file_location(
+            'wfsim_tpu._fastpath', so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
 
 try:
     from . import _fastpath
     HAVE_NATIVE = True
 except ImportError:
-    _fastpath = None
-    HAVE_NATIVE = False
+    _fastpath = _autobuild()
+    HAVE_NATIVE = _fastpath is not None
 
 __all__ = ['HAVE_NATIVE', 'pack_windows', 'find_intervals_below_threshold',
            'decode_residual_records']
