@@ -1542,6 +1542,11 @@ class RawDataTPU:
                 time.perf_counter() - t_w0
             nbytes += (itv_all.nbytes + masks_all.nbytes
                        + vals_all.nbytes + escs_all.nbytes)
+            # per-stream accounting so payload work targets the right stream
+            self.diag.add('payload_meta_bytes', itv_all.nbytes)
+            self.diag.add('payload_mask_bytes', masks_all.nbytes)
+            self.diag.add('payload_value_bytes', vals_all.nbytes)
+            self.diag.add('payload_escape_bytes', escs_all.nbytes)
         offs = [0, 0, 0, 0]
         for n_rec, n_val, n_itv, ne_bound, packed, nix in state['sizes']:
             w_meta = int(packed['itv_meta'].shape[1])
