@@ -31,11 +31,14 @@ def run(realistic, n_events=512, repeats=2):
         t0 = time.perf_counter()
         _ = sim.get_arrays(inst)
         dt = time.perf_counter() - t0
-        ph = {k: round(v, 3) for k, v in
-              sorted(sim.sim.rawdata.diag.seconds.items())}
+        diag = sim.sim.rawdata.diag
+        ph = {k: round(v, 3) for k, v in sorted(diag.seconds.items())}
+        pb = {k: int(v) for k, v in sorted(diag.counts.items())
+              if 'payload' in k}
         print(json.dumps({'realistic': realistic, 'run': i,
                           'ev_per_s': round(n_events / dt, 1),
-                          'seconds': round(dt, 2), 'phases': ph}),
+                          'seconds': round(dt, 2), 'phases': ph,
+                          'payload': pb}),
               flush=True)
 
 

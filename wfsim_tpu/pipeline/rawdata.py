@@ -891,24 +891,57 @@ class RawDataTPU:
         def stage_a(jobs, safe_t):
             """Finalize one super-batch's PRIMARY sim (group fetch — its
             kernels and truth-pack copy executed behind the intervening
-            host work, so the fetch costs ~a round trip) and DISPATCH its
-            electron-afterpulse feedback step (ref rawdata.py:133-140)
-            without blocking on it."""
+            host work, so the fetch costs ~a round trip) and PREPARE its
+            electron-afterpulse feedback step (ref rawdata.py:133-140):
+            secondary instructions are synthesized and their tiny photon-
+            demand kernels dispatched (async count copy), but the full
+            kernels wait one rotation (stage_a2) so the demand join lands
+            on data that already crossed the wire — the eager form blocked
+            ~0.4 s/batch behind the next batch's queued sim kernels."""
             truth_rows: ty.List[dict] = []
             gen_sink: ty.List[np.ndarray] = []
             with self.diag.phase('simulate'):
                 self._sim_finalize(jobs, instructions, truth_rows, gen_sink)
             gen_sink = [g for g in gen_sink if len(g)]
-            jobs2 = secondaries = None
+            sec_state = None
             if gen_sink:
                 sec = np.concatenate(gen_sink)
                 if len(sec):
                     arr2 = self._arrival_times(sec)
                     order2 = np.argsort(arr2, kind='stable')
                     with self.diag.phase('simulate_afterpulses'):
-                        jobs2 = self._sim_dispatch(sec, order2,
-                                                   want_gen=False)
-                    secondaries = sec
+                        if self._use_demand_prepass():
+                            preps, demands_d = self._sim_prepare(sec, order2)
+                            tok = (_start_sliced_copies(
+                                [jnp.stack(demands_d)]) if demands_d
+                                else None)
+                            sec_state = ('prep', preps, tok, sec)
+                        else:
+                            # subclass dispatch path (no demand pre-pass)
+                            jobs2 = self._sim_dispatch(sec, order2,
+                                                       want_gen=False)
+                            sec_state = ('jobs', jobs2, None, sec)
+            return (sec_state, truth_rows, safe_t)
+
+        def stage_a2(sec_state, truth_rows, safe_t):
+            """Join the secondary demand counts (their copy streamed behind
+            one full rotation of host work) and dispatch the secondary sim
+            kernels at exact capacities."""
+            jobs2 = secondaries = None
+            if sec_state is not None:
+                mode, payload, tok, sec = sec_state
+                secondaries = sec
+                if mode == 'jobs':
+                    jobs2 = payload
+                else:
+                    with self.diag.phase('simulate_afterpulses'):
+                        t0 = time.perf_counter()
+                        demands = (_collect_sliced(tok)[0] if tok is not None
+                                   else np.zeros(0, np.int32))
+                        self.diag.seconds['sim_demand_fetch'] += \
+                            time.perf_counter() - t0
+                        jobs2 = self._sim_dispatch_prepared(
+                            payload, demands, want_gen=False)
             return (jobs2, secondaries, truth_rows, safe_t)
 
         def stage_b(jobs2, secondaries, truth_rows, safe_t):
@@ -924,21 +957,24 @@ class RawDataTPU:
 
         # Software pipeline over super-batches, one stage per dependency
         # edge: dispatch sim(k); stage_a(k-1) = finalize primaries +
-        # dispatch afterpulse secondaries; stage_b(k-2) = finalize
-        # secondaries + drain truth + dispatch digitize; pack round k-3's
-        # records (counts long ready); collect round k-4's payload (on the
-        # wire since the previous iteration).  Every blocking fetch thus
-        # waits on device work queued >= one full stage earlier, costing a
-        # round trip instead of the device-queue drain (sim_group_fetch
-        # measured 2.6-3.7 s/run eager, 0.7-0.9 s one stage deep; the
-        # secondary fetch 2.2 s when taken in the same stage).  Windows
+        # prepare afterpulse secondaries (demand kernels dispatched, counts
+        # copy async); stage_a2(k-2) = join demand counts + dispatch the
+        # secondary sim kernels; stage_b(k-3) = finalize secondaries +
+        # drain truth + dispatch digitize; pack round k-4's records (counts
+        # long ready); collect round k-5's payload (on the wire since the
+        # previous iteration).  Every blocking fetch thus waits on device
+        # work queued >= one full stage earlier, costing a round trip
+        # instead of the device-queue drain (sim_group_fetch measured
+        # 2.6-3.7 s/run eager, 0.7-0.9 s one stage deep; the secondary
+        # demand fetch 1.3-1.5 s/run when taken in stage_a).  Windows
         # still yield in exact time order (framing is safe_t-driven, not
         # arrival-driven); only their latency grows.  The sim-key counter
         # interleaving differs from the unpipelined order, so draws differ
         # from a depth<=1 run exactly as PARITY deviation 5 documents.
         pending = None        # packed round awaiting payload collect
         pre_pending = None    # dispatched digitize round awaiting pack
-        ap_pending = None     # stage_a output awaiting stage_b
+        ap_pending = None     # stage_a2 output awaiting stage_b
+        sec_pending = None    # stage_a output awaiting stage_a2
         sim_pending = None    # (jobs, safe_t) dispatched sim awaiting stage_a
         di = 0
         collector = futures.ThreadPoolExecutor(max_workers=1)
@@ -962,11 +998,13 @@ class RawDataTPU:
             extending the wall after them.  Only one worker round is in
             flight at a time, so the record arena and diag counters stay
             single-writer; window yields keep their exact rotation slot."""
-            nonlocal pending, pre_pending, ap_pending, sim_pending
+            nonlocal pending, pre_pending, ap_pending, sec_pending, \
+                sim_pending
             work = (collector.submit(self._collect_digitize_work, pending)
                     if pending is not None else None)
             sim_next = dispatch_sim() if dispatch_sim is not None else None
-            ap_new = stage_a(*sim_pending) if sim_pending is not None else None
+            sec_new = stage_a(*sim_pending) if sim_pending is not None else None
+            ap_new = stage_a2(*sec_pending) if sec_pending is not None else None
             pre_new = stage_b(*ap_pending) if ap_pending is not None else None
             with self.diag.phase('digitize'):
                 packed_new = self._pack_digitize(pre_pending)
@@ -979,6 +1017,7 @@ class RawDataTPU:
             pending = packed_new
             pre_pending = pre_new
             ap_pending = ap_new
+            sec_pending = sec_new
             sim_pending = sim_next
 
         def _dispatch_sim_batch(k, order_k, safe_t):
@@ -998,11 +1037,13 @@ class RawDataTPU:
             for k, (order_k, safe_t) in enumerate(batches):
                 yield from advance(partial(_dispatch_sim_batch, k, order_k,
                                            safe_t))
-            # drain: trailing rotations flush sim -> secondaries ->
-            # digitize -> pack -> collect for the last batches
-            for _ in range(4):
-                if (sim_pending is None and ap_pending is None
-                        and pre_pending is None and pending is None):
+            # drain: trailing rotations flush sim -> secondary prep ->
+            # secondary dispatch -> digitize -> pack -> collect for the
+            # last batches
+            for _ in range(5):
+                if (sim_pending is None and sec_pending is None
+                        and ap_pending is None and pre_pending is None
+                        and pending is None):
                     break
                 yield from advance(None)
         finally:
