@@ -137,13 +137,19 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
     return PyLong_FromSsize_t(cur);
 }
 
-/* decode_records_noise(masks uint8[R,14], d8 int8[V], escs int16[E],
+/* decode_records_noise(mask4 uint8[R,4], mask_esc uint8[Em,14],
+ *                      d8 int8[V], escs int16[E],
  *                      lengths int32[R], out bytes, baseline,
  *                      channel int32[R], start_s int64[R], left_ch int64[R],
  *                      nix int32[R], ext int16[Cn, L+110], L,
  *                      rowmap int64[R] (len 0 = identity),
  *                      row_pitch bytes, data_off bytes)
  * -> (values_used, escapes_used)
+ *
+ * Masks arrive in the compact wire form (pipeline/digitize.py
+ * compact_mask4): per record 4 bytes (start1, len1, start2, len2) naming
+ * up to two contiguous masked runs; start1 == 255 escapes to the next
+ * full 14-byte bitmask of the mask_esc side stream (record order).
  *
  * Record r's 110 int16 samples are written at
  * out + data_off + rowmap[r] * row_pitch — passing the final structured
@@ -167,15 +173,16 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
  * truncates to int16 on store; the noise add wraps in int16.
  */
 static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
-    Py_buffer masks, d8, escs, lens, out, chan, start, left, nix, ext,
+    Py_buffer masks, mesc, d8, escs, lens, out, chan, start, left, nix, ext,
         rowmap;
     long long baseline, L, row_pitch, data_off;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*w*Ly*y*y*y*y*Ly*LL",
-                          &masks, &d8, &escs, &lens, &out, &baseline,
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*w*Ly*y*y*y*y*Ly*LL",
+                          &masks, &mesc, &d8, &escs, &lens, &out, &baseline,
                           &chan, &start, &left, &nix, &ext, &L,
                           &rowmap, &row_pitch, &data_off))
         return NULL;
     const uint8_t *pm = (const uint8_t *)masks.buf;
+    const uint8_t *pme = (const uint8_t *)mesc.buf;
     const int8_t *pd = (const int8_t *)d8.buf;
     const int16_t *pe = (const int16_t *)escs.buf;
     const int32_t *pl = (const int32_t *)lens.buf;
@@ -199,42 +206,75 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         row_pitch = 110 * (Py_ssize_t)sizeof(int16_t);
     if ((prm == NULL
          && out.len < data_off + R * row_pitch) ||
-        masks.len < R * 14 ||
+        masks.len < R * 4 ||
         (prm != NULL && rowmap.len < R * (Py_ssize_t)sizeof(int64_t))) {
         PyErr_SetString(PyExc_ValueError, "decode buffer size mismatch");
         goto fail;
     }
+    Py_ssize_t Em = mesc.len / 14;
     Py_ssize_t max_dest = (out.len - data_off) / row_pitch;
     if ((out.len - data_off) % row_pitch
         >= 110 * (Py_ssize_t)sizeof(int16_t))
         max_dest += 1;   /* a trailing partial pitch still fits one row */
 
-    Py_ssize_t vi = 0, ei = 0;
-    int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun, 3 = rowmap */
+    Py_ssize_t vi = 0, ei = 0, mi = 0;
+    int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun, 3 = rowmap,
+                      4 = mask-escape overrun */
     /* hot loop runs without the GIL (error reporting via flag) so a
      * worker-thread decode overlaps the main thread's blocking fetches */
     Py_BEGIN_ALLOW_THREADS
     for (Py_ssize_t r = 0; r < R && !err; r++) {
-        const uint8_t *m = pm + r * 14;
+        const uint8_t *q = pm + r * 4;
         Py_ssize_t dest = prm ? (Py_ssize_t)prm[r] : r;
         if (dest < 0 || dest >= max_dest) { err = 3; break; }
         int16_t *o = (int16_t *)(pob + data_off + dest * row_pitch);
         int32_t len = pl[r];
         int32_t v = (int32_t)baseline;
-        for (int k = 0; k < 110; k++) {
-            int32_t pred = (k < len) ? (int32_t)baseline : 0;
-            if (m[k >> 3] & (uint8_t)(0x80u >> (k & 7))) {
-                if (vi >= V) { err = 1; break; }
-                int8_t d = pd[vi++];
-                if (d == -128) {
-                    if (ei >= E) { err = 2; break; }
-                    v = (int32_t)pe[ei++];
+        if (q[0] == 255) {
+            /* escaped record: full 14-byte bitmask from the side stream */
+            if (mi >= Em) { err = 4; break; }
+            const uint8_t *m = pme + (mi++) * 14;
+            for (int k = 0; k < 110; k++) {
+                int32_t pred = (k < len) ? (int32_t)baseline : 0;
+                if (m[k >> 3] & (uint8_t)(0x80u >> (k & 7))) {
+                    if (vi >= V) { err = 1; break; }
+                    int8_t d = pd[vi++];
+                    if (d == -128) {
+                        if (ei >= E) { err = 2; break; }
+                        v = (int32_t)pe[ei++];
+                    } else {
+                        v += (int32_t)d;
+                    }
+                    o[k] = (int16_t)(uint16_t)(uint32_t)v;
                 } else {
-                    v += (int32_t)d;
+                    o[k] = (int16_t)pred;
                 }
-                o[k] = (int16_t)(uint16_t)(uint32_t)v;
-            } else {
-                o[k] = (int16_t)pred;
+            }
+        } else {
+            /* common form: predicted row, then <=2 masked runs decoded
+             * in place (run order == ascending position == the DPCM
+             * stream order of the bitmask walk) */
+            int lim = len < 110 ? (len < 0 ? 0 : len) : 110;
+            int k = 0;
+            for (; k < lim; k++) o[k] = (int16_t)baseline;
+            for (; k < 110; k++) o[k] = 0;
+            int e1 = q[0] + q[1], e2 = q[2] + q[3];
+            if (e1 > 110) e1 = 110;
+            if (e2 > 110) e2 = 110;
+            for (int pass = 0; pass < 2 && !err; pass++) {
+                int ks = pass ? q[2] : q[0];
+                int ke = pass ? e2 : e1;
+                for (k = ks; k < ke; k++) {
+                    if (vi >= V) { err = 1; break; }
+                    int8_t d = pd[vi++];
+                    if (d == -128) {
+                        if (ei >= E) { err = 2; break; }
+                        v = (int32_t)pe[ei++];
+                    } else {
+                        v += (int32_t)d;
+                    }
+                    o[k] = (int16_t)(uint16_t)(uint32_t)v;
+                }
             }
         }
         if (err)
@@ -254,18 +294,21 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         PyErr_SetString(PyExc_ValueError,
                         err == 1 ? "DPCM stream overrun"
                         : err == 2 ? "escape stream overrun"
-                                   : "rowmap destination out of range");
+                        : err == 3 ? "rowmap destination out of range"
+                                   : "mask-escape stream overrun");
         goto fail;
     }
 
-    PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
+    PyBuffer_Release(&masks); PyBuffer_Release(&mesc);
+    PyBuffer_Release(&d8); PyBuffer_Release(&escs);
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
     PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);
     return Py_BuildValue("(nn)", (Py_ssize_t)vi, (Py_ssize_t)ei);
 
 fail:
-    PyBuffer_Release(&masks); PyBuffer_Release(&d8); PyBuffer_Release(&escs);
+    PyBuffer_Release(&masks); PyBuffer_Release(&mesc);
+    PyBuffer_Release(&d8); PyBuffer_Release(&escs);
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
     PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);

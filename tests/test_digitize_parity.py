@@ -180,6 +180,16 @@ def test_encoded_transport_matches_dense_pack(seed, gain_scale):
                              int(c['digitizer_reference_baseline']))
     np.testing.assert_array_equal(decoded,
                                   np.asarray(dense['rec_data'])[:n_rec])
+    # the device's compact mask transport must agree with the numpy
+    # reference compressor (same <=2-run rule, same escape compaction)
+    from wfsim_tpu.pipeline.digitize import compact_mask4, expand_mask4
+    m4_ref, mesc_ref = compact_mask4(masks)
+    m4_dev = np.asarray(enc['rec_mask4'])[:n_rec]
+    np.testing.assert_array_equal(m4_dev, m4_ref)
+    n_mesc = int((m4_dev[:, 0] == 255).sum())
+    mesc_dev = np.asarray(enc['rec_mask_esc'])[:n_mesc]
+    np.testing.assert_array_equal(mesc_dev, mesc_ref)
+    np.testing.assert_array_equal(expand_mask4(m4_dev, mesc_dev), masks)
 
 
 def test_noise_slice_path_matches_pointwise():

@@ -9,7 +9,8 @@ import pytest
 
 from wfsim_tpu import native
 from wfsim_tpu.pipeline.digitize import (
-    decode_records, add_noise_host, noise_bank_ext_cm, SAMPLES_PER_RECORD)
+    decode_records, add_noise_host, noise_bank_ext_cm, compact_mask4,
+    expand_mask4, SAMPLES_PER_RECORD)
 
 pytestmark = pytest.mark.skipif(
     not native.HAVE_NATIVE, reason='native extension not built')
@@ -69,7 +70,8 @@ def test_decode_matches_numpy(wild):
     ref = decode_records(lengths, masks, d8, escs, baseline)
     np.testing.assert_array_equal(ref, recs)   # encoder sanity
 
-    out = native.decode_residual_records(lengths, masks, d8, escs, baseline)
+    m4, me = compact_mask4(masks)
+    out = native.decode_residual_records(lengths, m4, me, d8, escs, baseline)
     np.testing.assert_array_equal(out, ref)
 
 
@@ -90,8 +92,9 @@ def test_decode_with_noise_matches_numpy():
     ref = decode_records(lengths, masks, d8, escs, baseline)
     add_noise_host(ref, channel, start_s, lengths, left_ch, nix, bank,
                    ext_cm=ext)
+    m4, me = compact_mask4(masks)
     out = native.decode_residual_records(
-        lengths, masks, d8, escs, baseline, channel=channel,
+        lengths, m4, me, d8, escs, baseline, channel=channel,
         start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank, ext_cm=ext)
     np.testing.assert_array_equal(out, ref)
 
@@ -114,14 +117,15 @@ def test_decode_scatter_into_records_matches_dense():
     left_ch = rng.integers(0, 3000, R).astype(np.int64)
     nix = rng.integers(0, L, R).astype(np.int64)
 
+    m4, me = compact_mask4(masks)
     dense = native.decode_residual_records(
-        lengths, masks, d8, escs, baseline, channel=channel,
+        lengths, m4, me, d8, escs, baseline, channel=channel,
         start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank, ext_cm=ext)
 
     rowmap = rng.permutation(R).astype(np.int64)
     out = np.zeros(R, raw_record_dtype(SAMPLES_PER_RECORD))
     ret = native.decode_residual_records(
-        lengths, masks, d8, escs, baseline, channel=channel,
+        lengths, m4, me, d8, escs, baseline, channel=channel,
         start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank, ext_cm=ext,
         out_records=out, rowmap=rowmap)
     assert ret is None
@@ -133,7 +137,7 @@ def test_decode_scatter_into_records_matches_dense():
     try:
         native.HAVE_NATIVE = False
         native.decode_residual_records(
-            lengths, masks, d8, escs, baseline, channel=channel,
+            lengths, m4, me, d8, escs, baseline, channel=channel,
             start_s=start_s, left_ch=left_ch, nix_rec=nix, bank=bank,
             ext_cm=ext, out_records=out2, rowmap=rowmap)
     finally:
@@ -145,14 +149,35 @@ def test_decode_scatter_into_records_matches_dense():
     bad[3] = R + 7
     with pytest.raises(ValueError):
         native.decode_residual_records(
-            lengths, masks, d8, escs, baseline, out_records=out, rowmap=bad)
+            lengths, m4, me, d8, escs, baseline, out_records=out, rowmap=bad)
 
 
 def test_decode_empty():
     out = native.decode_residual_records(
-        np.zeros(0, np.int64), np.zeros((0, 14), np.uint8),
+        np.zeros(0, np.int64), np.zeros((0, 4), np.uint8),
+        np.zeros((0, 14), np.uint8),
         np.zeros(0, np.int8), np.zeros(0, np.int16), 16000)
     assert out.shape == (0, SAMPLES_PER_RECORD)
+
+
+def test_compact_mask4_roundtrip():
+    """compact_mask4/expand_mask4 must be exact inverses on arbitrary
+    masks, and the compact form must agree with the device pack kernel's
+    rec_mask4/rec_mask_esc outputs (same selection rule)."""
+    rng = np.random.default_rng(23)
+    R = 400
+    bits = rng.random((R, SAMPLES_PER_RECORD)) < 0.3
+    # mix in pure-run rows (the common case)
+    for r in range(0, R, 3):
+        bits[r] = False
+        lo = rng.integers(0, 100)
+        bits[r, lo:lo + rng.integers(1, 10)] = True
+    masks = np.packbits(np.pad(bits, ((0, 0), (0, 112 - SAMPLES_PER_RECORD))),
+                        axis=1)
+    m4, me = compact_mask4(masks)
+    back = expand_mask4(m4, me)
+    np.testing.assert_array_equal(back, masks)
+    assert (m4[:, 0] == 255).sum() == len(me)
 
 
 def test_pack_windows_matches_numpy():

@@ -137,7 +137,7 @@ def find_intervals_below_threshold(w, threshold, holdoff, result_buffer):
     return n
 
 
-def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
+def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
                             channel=None, start_s=None, left_ch=None,
                             nix_rec=None, bank=None, ext_cm=None,
                             out_records=None, rowmap=None):
@@ -147,8 +147,12 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
     + add_noise_host), which this must match bitwise (tests/test_native.py).
 
     :param lengths: (R,) per-record sample counts
-    :param masks/d8/esc_vals: the encoded transport streams (esc_vals sliced
-        exactly to the escape count)
+    :param mask4: (R, 4) uint8 compact mask descriptors (see
+        pipeline.digitize.compact_mask4); start1 == 255 rows consume the
+        next full bitmask of ``mask_esc``
+    :param mask_esc: (Em, 14) uint8 escaped full bitmasks, record order
+    :param d8/esc_vals: the DPCM/escape streams (esc_vals sliced exactly to
+        the escape count)
     :param channel/start_s/left_ch/nix_rec/bank/ext_cm: noise re-add inputs
         (all None = no noise); ``ext_cm`` is noise_bank_ext_cm(bank)
     :param out_records: optional C-contiguous structured record array with a
@@ -159,7 +163,8 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
     :returns: (R, 110) int16 record payload, or None with ``out_records``
     """
     from .pipeline.digitize import (decode_records, add_noise_host,
-                                    noise_bank_ext_cm, SAMPLES_PER_RECORD)
+                                    noise_bank_ext_cm, expand_mask4,
+                                    SAMPLES_PER_RECORD)
     R = len(lengths)
     noise_on = bank is not None
     if HAVE_NATIVE:
@@ -180,7 +185,8 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
         zi32 = np.zeros(0, np.int32)
         zi64 = np.zeros(0, np.int64)
         _fastpath.decode_records_noise(
-            np.ascontiguousarray(masks, np.uint8),
+            np.ascontiguousarray(mask4, np.uint8),
+            np.ascontiguousarray(mask_esc, np.uint8),
             np.ascontiguousarray(d8, np.int8),
             np.ascontiguousarray(esc_vals, np.int16),
             np.ascontiguousarray(lengths, np.int32),
@@ -193,7 +199,9 @@ def decode_residual_records(lengths, masks, d8, esc_vals, baseline,
             else np.zeros(0, np.int16),
             L, rm, pitch, int(data_off))
         return None if out_records is not None else dest
-    out = decode_records(lengths, masks, d8, esc_vals, baseline)
+    out = decode_records(lengths, expand_mask4(np.asarray(mask4),
+                                               np.asarray(mask_esc)),
+                         d8, esc_vals, baseline)
     if noise_on:
         add_noise_host(out, channel, start_s, lengths, left_ch, nix_rec,
                        bank, ext_cm=ext_cm)

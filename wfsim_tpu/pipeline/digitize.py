@@ -25,8 +25,8 @@ from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
 __all__ = ['digitize_window', 'gather_digitize', 'pack_records',
-           'pack_records_encoded', 'decode_records', 'SAMPLES_PER_RECORD',
-           'NOISE_PAD']
+           'pack_records_encoded', 'decode_records', 'compact_mask4',
+           'expand_mask4', 'SAMPLES_PER_RECORD', 'NOISE_PAD']
 
 #: Wraparound margin (samples) of the channel-major extended noise bank
 #: (params.noise_ext); digitize windows up to this length take the
@@ -510,7 +510,10 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     construction for any input.
 
     Returns dict(itv_meta (R, 2 or 4) int32 — R bounds the interval count
-    since every live interval has >=1 record — rec_masks (R,14) uint8,
+    since every live interval has >=1 record — rec_masks (R,14) uint8 (the
+    full bitmask form, kept for oracles/tests; not shipped), rec_mask4
+    (R,4) uint8 + rec_mask_esc (R,14) uint8 (the compact wire form: <=2-run
+    descriptors with escaped full masks compacted in record order),
     rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
     """
     spr = SAMPLES_PER_RECORD
@@ -596,6 +599,29 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     esc_vals = jnp.zeros(max_values, jnp.int16).at[
         jnp.where(esc, epos, max_values)].set(values, mode='drop')
 
+    # ---- compact mask transport: masked samples form <=2 contiguous runs
+    # for ~83% of records (measured, realistic config), so each record ships
+    # a 4-byte (start1, len1, start2, len2) descriptor; start1 == 255 (no
+    # real start exceeds 109) escapes to a full 14-byte bitmask side stream.
+    # 14 B/record was 35% of the wire payload; this cuts it to ~4-6 B ----
+    prev_dm = jnp.pad(dm, ((0, 0), (1, 0)))[:, :-1]
+    rise = dm & ~prev_dm
+    runid = jnp.cumsum(rise.astype(jnp.int32), axis=1)
+    n_runs = runid[:, -1]
+    col_r = jnp.arange(spr, dtype=jnp.int32)[None, :]
+    r1s = jnp.sum(jnp.where(rise & (runid == 1), col_r, 0), axis=1)
+    r2s = jnp.sum(jnp.where(rise & (runid == 2), col_r, 0), axis=1)
+    l1 = jnp.sum((dm & (runid == 1)).astype(jnp.int32), axis=1)
+    l2 = jnp.sum((dm & (runid == 2)).astype(jnp.int32), axis=1)
+    m_esc = n_runs > 2
+    rec_mask4 = jnp.stack(
+        [jnp.where(m_esc, 255, r1s), jnp.where(m_esc, 0, l1),
+         jnp.where(m_esc, 0, r2s), jnp.where(m_esc, 0, l2)],
+        axis=1).astype(jnp.uint8)
+    mpos = jnp.cumsum(m_esc.astype(jnp.int32)) - 1
+    rec_mask_esc = jnp.zeros((max_records, 14), jnp.uint8).at[
+        jnp.where(m_esc, mpos, max_records)].set(masks, mode='drop')
+
     # ---- interval table: one row per non-empty interval, natural order;
     # the window-start word lets the host realign the noise bank to
     # reconstruct the overlay the device stripped.  When the (static)
@@ -626,7 +652,8 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     itv_meta = jnp.zeros((max_records, n_words), jnp.int32).at[
         jnp.where(itv_live, ipos, max_records)].set(itv_rows, mode='drop')
 
-    return dict(itv_meta=itv_meta, rec_masks=masks, rec_values=d8,
+    return dict(itv_meta=itv_meta, rec_masks=masks, rec_mask4=rec_mask4,
+                rec_mask_esc=rec_mask_esc, rec_values=d8,
                 rec_escapes=esc_vals, n_escapes=n_escapes)
 
 
@@ -743,4 +770,55 @@ def decode_records(lengths, masks, d8, esc_vals, baseline):
         for e, r, val in zip(esc_pos, e_row, esc_vals[:len(esc_pos)]):
             v[e:row_end[r]] += int(val) - v[e]
     out[mb] = v.astype(np.int16)
+    return out
+
+
+def compact_mask4(masks):
+    """Numpy reference of the pack kernel's compact mask transport: per
+    record a (start1, len1, start2, len2) uint8 descriptor when the masked
+    samples form <= 2 contiguous runs, start1 == 255 escaping to the full
+    14-byte bitmask (returned compacted, in record order).  Returns
+    (mask4 (R, 4) uint8, mask_esc (E, 14) uint8)."""
+    spr = SAMPLES_PER_RECORD
+    bits = np.unpackbits(masks, axis=1, count=spr).astype(bool)
+    prev = np.zeros_like(bits)
+    prev[:, 1:] = bits[:, :-1]
+    rise = bits & ~prev
+    runid = np.cumsum(rise, axis=1)
+    n_runs = runid[:, -1]
+    col = np.arange(spr)
+    r1s = ((rise & (runid == 1)) * col).sum(axis=1)
+    r2s = ((rise & (runid == 2)) * col).sum(axis=1)
+    l1 = (bits & (runid == 1)).sum(axis=1)
+    l2 = (bits & (runid == 2)).sum(axis=1)
+    esc = n_runs > 2
+    mask4 = np.stack([np.where(esc, 255, r1s), np.where(esc, 0, l1),
+                      np.where(esc, 0, r2s), np.where(esc, 0, l2)],
+                     axis=1).astype(np.uint8)
+    return mask4, np.ascontiguousarray(masks[esc])
+
+
+def expand_mask4(mask4, mask_esc):
+    """Inverse of :func:`compact_mask4`: rebuild the (R, 14) uint8 bitmask
+    array from the 4-byte run descriptors + escaped-mask side stream."""
+    spr = SAMPLES_PER_RECORD
+    R = len(mask4)
+    esc = mask4[:, 0] == 255
+    s1 = np.where(esc, 0, mask4[:, 0]).astype(np.int64)
+    l1 = mask4[:, 1].astype(np.int64)
+    s2 = np.where(esc, 0, mask4[:, 2]).astype(np.int64)
+    l2 = mask4[:, 3].astype(np.int64)
+    diff = np.zeros((R, spr + 1), np.int8)
+    rows = np.arange(R)
+    np.add.at(diff, (rows, s1), 1)
+    np.add.at(diff, (rows, s1 + l1), -1)
+    np.add.at(diff, (rows, s2), 1)
+    np.add.at(diff, (rows, s2 + l2), -1)
+    bits = np.cumsum(diff[:, :spr], axis=1) > 0
+    out = np.packbits(bits, axis=1, bitorder='big')
+    if out.shape[1] < 14:
+        out = np.pad(out, ((0, 0), (0, 14 - out.shape[1])))
+    n_esc = int(esc.sum())
+    assert len(mask_esc) >= n_esc, (len(mask_esc), n_esc)
+    out[esc] = mask_esc[:n_esc]
     return out

@@ -1443,7 +1443,8 @@ class RawDataTPU:
         baseline = int(self.const.digitizer_reference_baseline)
         sizes = []
         batches_meta = []
-        stream_parts = ([], [], [], [])   # itv_meta, masks, values, escapes
+        # itv_meta, mask4, mask_esc, values, escapes
+        stream_parts = ([], [], [], [], [])
         for ci, (batch, T_cap, nix, res) in enumerate(calls):
             n_rec = int(counts_h[ci, 0])
             n_val = int(counts_h[ci, 1])
@@ -1465,21 +1466,24 @@ class RawDataTPU:
                 baseline=baseline)
             n = max(n_rec, 1)
             nv = max(n_val, 1)
-            # the escape stream's exact count lives on device, so its slice
-            # uses a generous host-side bound (escapes are DPCM outliers, a
-            # few % of values); the rare overflow triggers one blocking
-            # refetch in collect
-            ne_bound = min(nv // 24 + 128, nv)
+            # the escape / escaped-mask exact counts live on device, so
+            # their slices use generous host-side bounds (DPCM escapes
+            # measured ~1e-5 of values; >2-run masks ~17% of records); the
+            # rare overflow triggers one blocking refetch in collect
+            ne_bound = min(nv // 256 + 512, nv)
+            me_bound = min(n // 4 + 64, n)
             # meta rides raveled: calls in one round can emit different
             # (static) meta widths — 2-word bit-packed vs 4-word plain —
             # and the host reshapes per call from the pack's row width
             parts = (packed['itv_meta'][:max(n_itv, 1)].reshape(-1),
-                     packed['rec_masks'][:n],
+                     packed['rec_mask4'][:n],
+                     packed['rec_mask_esc'][:me_bound],
                      packed['rec_values'][:nv],
                      packed['rec_escapes'][:ne_bound])
             for lst, p in zip(stream_parts, parts):
                 lst.append(p)
-            sizes.append((n_rec, n_val, n_itv, ne_bound, packed, nix))
+            sizes.append((n_rec, n_val, n_itv, ne_bound, me_bound, packed,
+                          nix))
             batches_meta.append(batch)
         # ONE async wire copy per stream for the WHOLE round: every call's
         # slices concatenate on device (cheap HBM copies) so the round pays
@@ -1577,36 +1581,44 @@ class RawDataTPU:
         payload_rows = []
         if state['sizes']:
             t_w0 = time.perf_counter()
-            itv_all, masks_all, vals_all, escs_all = \
+            itv_all, mask4_all, mesc_all, vals_all, escs_all = \
                 _collect_sliced(state['tok'])
             self.diag.seconds['digitize_payload_wait'] += \
                 time.perf_counter() - t_w0
-            nbytes += (itv_all.nbytes + masks_all.nbytes
+            nbytes += (itv_all.nbytes + mask4_all.nbytes + mesc_all.nbytes
                        + vals_all.nbytes + escs_all.nbytes)
             # per-stream accounting so payload work targets the right stream
             self.diag.add('payload_meta_bytes', itv_all.nbytes)
-            self.diag.add('payload_mask_bytes', masks_all.nbytes)
+            self.diag.add('payload_mask_bytes',
+                          mask4_all.nbytes + mesc_all.nbytes)
             self.diag.add('payload_value_bytes', vals_all.nbytes)
             self.diag.add('payload_escape_bytes', escs_all.nbytes)
-        offs = [0, 0, 0, 0]
-        for n_rec, n_val, n_itv, ne_bound, packed, nix in state['sizes']:
+        offs = [0, 0, 0, 0, 0]
+        for n_rec, n_val, n_itv, ne_bound, me_bound, packed, nix \
+                in state['sizes']:
             w_meta = int(packed['itv_meta'].shape[1])
-            lens = (max(n_itv, 1) * w_meta, max(n_rec, 1), max(n_val, 1),
-                    ne_bound)
-            itv, masks, vals, escs = (
+            lens = (max(n_itv, 1) * w_meta, max(n_rec, 1), me_bound,
+                    max(n_val, 1), ne_bound)
+            itv, mask4, mesc, vals, escs = (
                 arr[o:o + ln] for arr, o, ln in
-                zip((itv_all, masks_all, vals_all, escs_all), offs, lens))
+                zip((itv_all, mask4_all, mesc_all, vals_all, escs_all),
+                    offs, lens))
             offs = [o + ln for o, ln in zip(offs, lens)]
             itv = itv.reshape(-1, w_meta)
+            mask4 = mask4[:n_rec]
             # meta expansion only — sample decode is deferred until the
             # global record order is known, so the decoder can scatter
             # rows straight into their final arena slots
             n_esc = int(np.count_nonzero(vals[:n_val] == -128))
             if n_esc > ne_bound:
                 escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
+            n_mesc = int(np.count_nonzero(mask4[:, 0] == 255))
+            if n_mesc > me_bound:
+                mesc = _fetch_in_slices(
+                    [packed['rec_mask_esc'][:n_mesc]])[0]
             m = expand_interval_meta(itv[:n_itv])
             assert len(m[0]) == n_rec, (len(m[0]), n_rec)
-            payload_rows.append((n_rec, m, masks[:n_rec],
+            payload_rows.append((n_rec, m, mask4, mesc[:n_mesc],
                                  vals[:n_val], escs[:n_esc], nix))
         self.diag.seconds['digitize_payload_fetch'] += \
             time.perf_counter() - t0
@@ -1624,8 +1636,8 @@ class RawDataTPU:
         results = [None] * len(wins)
         win_counts = np.zeros(len(wins), np.int64)
         W_p, C_p, S_p, LEN_p, PLEN_p, RECI_p = ([] for _ in range(6))
-        for batch, (n_rec, m, _, _, _, _) in zip(state['batches'],
-                                                 payload_rows):
+        for batch, (n_rec, m, *_rest) in zip(state['batches'],
+                                             payload_rows):
             # split records by window (ascending by design)
             bounds = np.searchsorted(m[0], np.arange(len(batch) + 1))
             win_counts[np.asarray(batch)] = np.diff(bounds)
@@ -1667,21 +1679,21 @@ class RawDataTPU:
             inv = np.empty(N, np.int64)
             inv[order] = np.arange(N, dtype=np.int64)
             roff = 0
-            for n_rec, m, masks, vals, escs, nix in payload_rows:
+            for n_rec, m, mask4, mesc, vals, escs, nix in payload_rows:
                 rmap = inv[roff:roff + n_rec]
                 roff += n_rec
                 if not n_rec:
                     continue
                 if noise_host is not None:
                     decode_residual_records(
-                        m[3], masks, vals, escs, baseline,
+                        m[3], mask4, mesc, vals, escs, baseline,
                         channel=m[1], start_s=m[2], left_ch=m[6],
                         nix_rec=nix[m[0]], bank=noise_host[0],
                         ext_cm=noise_host[1], out_records=recs,
                         rowmap=rmap)
                 else:
                     decode_residual_records(
-                        m[3], masks, vals, escs, baseline,
+                        m[3], mask4, mesc, vals, escs, baseline,
                         out_records=recs, rowmap=rmap)
         for wi in range(len(wins)):
             results[wi] = chunk_arr[offsets[wi]:offsets[wi + 1]]
