@@ -211,6 +211,10 @@ class RawDataTPU:
 
     #: process-level record-arena high-water mark (rows) — see _arena_alloc
     _arena_hw = 0
+    #: process-level high-water fraction of records whose masks escape the
+    #: compact 2-run transport form (see _pack_digitize); starts at the
+    #: measured realistic-config average + margin, raised on overflow
+    _mesc_frac = 0.25
 
     def __init__(self, config, mesh=None, **kwargs):
         self.config = finalize_config(dict(config))
@@ -1468,10 +1472,13 @@ class RawDataTPU:
             nv = max(n_val, 1)
             # the escape / escaped-mask exact counts live on device, so
             # their slices use generous host-side bounds (DPCM escapes
-            # measured ~1e-5 of values; >2-run masks ~17% of records); the
-            # rare overflow triggers one blocking refetch in collect
+            # measured ~1e-5 of values; >2-run masks ~17% of records ON
+            # AVERAGE but per-call fractions vary, so the mask bound is a
+            # process-level adaptive high-water mark — an overflow refetch
+            # drains the live device queue (~0.5-1 s), so it must fire at
+            # most once per fraction step, not once per hot call)
             ne_bound = min(nv // 256 + 512, nv)
-            me_bound = min(n // 4 + 64, n)
+            me_bound = min(int(n * RawDataTPU._mesc_frac) + 64, n)
             # meta rides raveled: calls in one round can emit different
             # (static) meta widths — 2-word bit-packed vs 4-word plain —
             # and the host reshapes per call from the pack's row width
@@ -1616,6 +1623,11 @@ class RawDataTPU:
             if n_mesc > me_bound:
                 mesc = _fetch_in_slices(
                     [packed['rec_mask_esc'][:n_mesc]])[0]
+                # raise the process-level bound so subsequent rounds ship
+                # enough up front instead of paying this queue-drain again
+                RawDataTPU._mesc_frac = min(
+                    1.0, max(RawDataTPU._mesc_frac,
+                             1.25 * n_mesc / max(n_rec, 1)))
             m = expand_interval_meta(itv[:n_itv])
             assert len(m[0]) == n_rec, (len(m[0]), n_rec)
             payload_rows.append((n_rec, m, mask4, mesc[:n_mesc],
