@@ -171,15 +171,25 @@ static PyObject *find_intervals(PyObject *self, PyObject *args) {
  * Pass L == 0 to skip the noise overlay (ext may then be empty).
  * Arithmetic matches numpy exactly: the DPCM chain runs in int32 and
  * truncates to int16 on store; the noise add wraps in int16.
+ *
+ * Optional header fill (hdr_time non-empty): the strax record header
+ * fields are written into each destination row during the same pass —
+ * hdr_time int64[R], hdr_plen int32[R], hdr_reci int32[R] (stream
+ * order), hdr_offs int64[7] = (off_time, off_length, off_dt,
+ * off_channel, off_plen, off_reci, dt_value).  ``chan`` must then be
+ * length R even when the noise overlay is off.  This replaces six
+ * strided structured-array passes on the host (each re-touching every
+ * 244-byte record row) with stores into rows the decode already owns.
  */
 static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
     Py_buffer masks, mesc, d8, escs, lens, out, chan, start, left, nix, ext,
-        rowmap;
+        rowmap, hdr_time, hdr_plen, hdr_reci, hdr_offs;
     long long baseline, L, row_pitch, data_off;
-    if (!PyArg_ParseTuple(args, "y*y*y*y*y*w*Ly*y*y*y*y*Ly*LL",
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*w*Ly*y*y*y*y*Ly*LLy*y*y*y*",
                           &masks, &mesc, &d8, &escs, &lens, &out, &baseline,
                           &chan, &start, &left, &nix, &ext, &L,
-                          &rowmap, &row_pitch, &data_off))
+                          &rowmap, &row_pitch, &data_off,
+                          &hdr_time, &hdr_plen, &hdr_reci, &hdr_offs))
         return NULL;
     const uint8_t *pm = (const uint8_t *)masks.buf;
     const uint8_t *pme = (const uint8_t *)mesc.buf;
@@ -197,6 +207,18 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
     Py_ssize_t R = lens.len / (Py_ssize_t)sizeof(int32_t);
     Py_ssize_t V = d8.len;                 /* int8: len == count */
     Py_ssize_t E = escs.len / (Py_ssize_t)sizeof(int16_t);
+    const int64_t *pht = hdr_time.len ? (const int64_t *)hdr_time.buf : NULL;
+    const int32_t *php = (const int32_t *)hdr_plen.buf;
+    const int32_t *phr = (const int32_t *)hdr_reci.buf;
+    const int64_t *po7 = (const int64_t *)hdr_offs.buf;
+    if (pht && (hdr_time.len < R * (Py_ssize_t)sizeof(int64_t)
+                || hdr_plen.len < R * (Py_ssize_t)sizeof(int32_t)
+                || hdr_reci.len < R * (Py_ssize_t)sizeof(int32_t)
+                || hdr_offs.len < 7 * (Py_ssize_t)sizeof(int64_t)
+                || chan.len < R * (Py_ssize_t)sizeof(int32_t))) {
+        PyErr_SetString(PyExc_ValueError, "header buffer size mismatch");
+        goto fail;
+    }
     Py_ssize_t Cn = 0, extw = 0;
     if (L > 0) {
         extw = L + 110;
@@ -212,10 +234,16 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         goto fail;
     }
     Py_ssize_t Em = mesc.len / 14;
-    Py_ssize_t max_dest = (out.len - data_off) / row_pitch;
-    if ((out.len - data_off) % row_pitch
-        >= 110 * (Py_ssize_t)sizeof(int16_t))
-        max_dest += 1;   /* a trailing partial pitch still fits one row */
+    Py_ssize_t max_dest;
+    if (pht) {
+        /* header stores touch the whole row — require full rows */
+        max_dest = out.len / row_pitch;
+    } else {
+        max_dest = (out.len - data_off) / row_pitch;
+        if ((out.len - data_off) % row_pitch
+            >= 110 * (Py_ssize_t)sizeof(int16_t))
+            max_dest += 1;   /* a trailing partial pitch still fits one row */
+    }
 
     Py_ssize_t vi = 0, ei = 0, mi = 0;
     int err = 0;   /* 1 = DPCM overrun, 2 = escape overrun, 3 = rowmap,
@@ -228,6 +256,21 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
         Py_ssize_t dest = prm ? (Py_ssize_t)prm[r] : r;
         if (dest < 0 || dest >= max_dest) { err = 3; break; }
         int16_t *o = (int16_t *)(pob + data_off + dest * row_pitch);
+        if (pht) {
+            /* strax header fields, same row the sample decode owns
+             * (memcpy: rows are only 2-byte aligned in general) */
+            uint8_t *row = pob + dest * row_pitch;
+            int64_t t = pht[r];
+            int32_t ln = pl[r], pln = php[r];
+            int16_t dtv = (int16_t)po7[6], ch16 = (int16_t)pch[r];
+            int16_t ri16 = (int16_t)phr[r];
+            memcpy(row + po7[0], &t, 8);
+            memcpy(row + po7[1], &ln, 4);
+            memcpy(row + po7[2], &dtv, 2);
+            memcpy(row + po7[3], &ch16, 2);
+            memcpy(row + po7[4], &pln, 4);
+            memcpy(row + po7[5], &ri16, 2);
+        }
         int32_t len = pl[r];
         int32_t v = (int32_t)baseline;
         if (q[0] == 255) {
@@ -304,6 +347,8 @@ static PyObject *decode_records_noise(PyObject *self, PyObject *args) {
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
     PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);
+    PyBuffer_Release(&hdr_time); PyBuffer_Release(&hdr_plen);
+    PyBuffer_Release(&hdr_reci); PyBuffer_Release(&hdr_offs);
     return Py_BuildValue("(nn)", (Py_ssize_t)vi, (Py_ssize_t)ei);
 
 fail:
@@ -312,6 +357,8 @@ fail:
     PyBuffer_Release(&lens); PyBuffer_Release(&out); PyBuffer_Release(&chan);
     PyBuffer_Release(&start); PyBuffer_Release(&left); PyBuffer_Release(&nix);
     PyBuffer_Release(&ext); PyBuffer_Release(&rowmap);
+    PyBuffer_Release(&hdr_time); PyBuffer_Release(&hdr_plen);
+    PyBuffer_Release(&hdr_reci); PyBuffer_Release(&hdr_offs);
     return NULL;
 }
 

@@ -152,6 +152,55 @@ def test_decode_scatter_into_records_matches_dense():
             lengths, m4, me, d8, escs, baseline, out_records=out, rowmap=bad)
 
 
+def test_decode_header_fill_matches_numpy():
+    """Header-fill mode must write the same time/length/dt/channel/
+    pulse_length/record_i values the old strided numpy assignments
+    produced, through both the native and fallback paths."""
+    from wfsim_tpu.dtypes import raw_record_dtype
+    rng = np.random.default_rng(29)
+    baseline = 16000
+    R = 223
+    recs, lengths = _random_records(rng, R, baseline, wild=True)
+    masks, d8, escs = _encode(recs, lengths, baseline, rng)
+    m4, me = compact_mask4(masks)
+    channel = rng.integers(0, 494, R).astype(np.int64)
+    time_ns = rng.integers(0, 2 ** 50, R).astype(np.int64)
+    plen = rng.integers(1, 5000, R).astype(np.int64)
+    reci = rng.integers(0, 40, R).astype(np.int64)
+    rowmap = rng.permutation(R).astype(np.int64)
+    dt = 10
+
+    def _run():
+        out = np.zeros(R, raw_record_dtype(SAMPLES_PER_RECORD))
+        native.decode_residual_records(
+            lengths, m4, me, d8, escs, baseline, channel=channel,
+            out_records=out, rowmap=rowmap, time_ns=time_ns,
+            pulse_length=plen, record_i=reci, rec_dt=dt)
+        return out
+
+    out_c = _run()
+    # expected: the old caller-side strided assignments
+    exp = np.zeros(R, raw_record_dtype(SAMPLES_PER_RECORD))
+    exp['data'][rowmap] = decode_records(lengths, masks, d8, escs, baseline)
+    order = np.empty(R, np.int64)
+    order[rowmap] = np.arange(R)   # stream index occupying each slot
+    exp['time'] = time_ns[order]
+    exp['length'] = lengths[order]
+    exp['dt'] = dt
+    exp['channel'] = channel[order].astype(np.int16)
+    exp['pulse_length'] = plen[order]
+    exp['record_i'] = reci[order].astype(np.int16)
+    np.testing.assert_array_equal(out_c, exp)
+
+    orig = native.HAVE_NATIVE
+    try:
+        native.HAVE_NATIVE = False
+        out_n = _run()
+    finally:
+        native.HAVE_NATIVE = orig
+    np.testing.assert_array_equal(out_n, out_c)
+
+
 def test_decode_empty():
     out = native.decode_residual_records(
         np.zeros(0, np.int64), np.zeros((0, 4), np.uint8),

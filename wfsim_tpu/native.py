@@ -140,7 +140,9 @@ def find_intervals_below_threshold(w, threshold, holdoff, result_buffer):
 def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
                             channel=None, start_s=None, left_ch=None,
                             nix_rec=None, bank=None, ext_cm=None,
-                            out_records=None, rowmap=None):
+                            out_records=None, rowmap=None,
+                            time_ns=None, pulse_length=None, record_i=None,
+                            rec_dt=None):
     """Decode the residual record transport and (optionally) re-apply the
     noise overlay, in one fused native pass when the extension is built;
     otherwise via the numpy reference path (pipeline.digitize.decode_records
@@ -160,6 +162,11 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
         straight into ``out_records['data'][rowmap[r]]`` (``rowmap`` None =
         row r), skipping the dense temp entirely (the collect stage passes
         the time-sorted arena slice with the sort permutation here)
+    :param time_ns/pulse_length/record_i/rec_dt: optional strax header fill
+        (requires ``out_records`` + ``channel``): the time/length/dt/channel/
+        pulse_length/record_i fields of each destination row are written in
+        the same pass as its samples, replacing six strided structured-array
+        assignments that each re-touch every record row on the host
     :returns: (R, 110) int16 record payload, or None with ``out_records``
     """
     from .pipeline.digitize import (decode_records, add_noise_host,
@@ -167,6 +174,9 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
                                     SAMPLES_PER_RECORD)
     R = len(lengths)
     noise_on = bank is not None
+    hdr_on = time_ns is not None
+    if hdr_on and (out_records is None or channel is None):
+        raise ValueError('header fill requires out_records and channel')
     if HAVE_NATIVE:
         if out_records is not None:
             dtf = out_records.dtype
@@ -176,6 +186,7 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
             rm = (np.ascontiguousarray(rowmap, np.int64)
                   if rowmap is not None else np.zeros(0, np.int64))
         else:
+            dtf = None
             dest = np.empty((R, SAMPLES_PER_RECORD), np.int16)
             data_off, pitch = 0, 2 * SAMPLES_PER_RECORD
             rm = np.zeros(0, np.int64)
@@ -184,6 +195,17 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
         L = int(bank.shape[0]) if noise_on else 0
         zi32 = np.zeros(0, np.int32)
         zi64 = np.zeros(0, np.int64)
+        if hdr_on:
+            ht = np.ascontiguousarray(time_ns, np.int64)
+            hp = np.ascontiguousarray(pulse_length, np.int32)
+            hr = np.ascontiguousarray(record_i, np.int32)
+            ho = np.asarray([dtf.fields[f][1] for f in
+                             ('time', 'length', 'dt', 'channel',
+                              'pulse_length', 'record_i')]
+                            + [int(rec_dt)], np.int64)
+        else:
+            ht = ho = zi64
+            hp = hr = zi32
         _fastpath.decode_records_noise(
             np.ascontiguousarray(mask4, np.uint8),
             np.ascontiguousarray(mask_esc, np.uint8),
@@ -191,13 +213,15 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
             np.ascontiguousarray(esc_vals, np.int16),
             np.ascontiguousarray(lengths, np.int32),
             dest, int(baseline),
-            np.ascontiguousarray(channel, np.int32) if noise_on else zi32,
+            np.ascontiguousarray(channel, np.int32)
+            if (noise_on or hdr_on) else zi32,
             np.ascontiguousarray(start_s, np.int64) if noise_on else zi64,
             np.ascontiguousarray(left_ch, np.int64) if noise_on else zi64,
             np.ascontiguousarray(nix_rec, np.int32) if noise_on else zi32,
             np.ascontiguousarray(ext_cm, np.int16) if noise_on
             else np.zeros(0, np.int16),
-            L, rm, pitch, int(data_off))
+            L, rm, pitch, int(data_off),
+            ht, hp, hr, ho)
         return None if out_records is not None else dest
     out = decode_records(lengths, expand_mask4(np.asarray(mask4),
                                                np.asarray(mask_esc)),
@@ -206,9 +230,18 @@ def decode_residual_records(lengths, mask4, mask_esc, d8, esc_vals, baseline,
         add_noise_host(out, channel, start_s, lengths, left_ch, nix_rec,
                        bank, ext_cm=ext_cm)
     if out_records is not None:
-        if rowmap is not None:
-            out_records['data'][np.asarray(rowmap, np.int64)] = out
-        else:
-            out_records['data'][:R] = out
+        idx = (np.asarray(rowmap, np.int64) if rowmap is not None
+               else slice(0, R))
+        out_records['data'][idx] = out
+        if hdr_on:
+            rows = out_records[idx]
+            rows['time'] = time_ns
+            rows['length'] = np.asarray(lengths, np.int32)
+            rows['dt'] = np.int16(rec_dt)
+            rows['channel'] = np.asarray(channel).astype(np.int16)
+            rows['pulse_length'] = np.asarray(pulse_length, np.int32)
+            rows['record_i'] = np.asarray(record_i).astype(np.int16)
+            if rowmap is not None:
+                out_records[idx] = rows
         return None
     return out

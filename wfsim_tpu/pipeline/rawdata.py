@@ -213,7 +213,11 @@ class RawDataTPU:
     _arena_hw = 0
     #: process-level high-water fraction of records whose masks escape the
     #: compact 2-run transport form (see _pack_digitize); starts at the
-    #: measured realistic-config average + margin, raised on overflow
+    #: measured realistic-config average + margin, raised on overflow.
+    #: Deliberately NOT lowered adaptively: the bound feeds device slice /
+    #: concat shapes, and a drifting bound recompiles those programs every
+    #: round (30-60 s each through the relay) for ~1-2 MB of wire — the
+    #: payload_mesc_rows/shipped diag counters quantify the padding instead
     _mesc_frac = 0.25
 
     def __init__(self, config, mesh=None, **kwargs):
@@ -1628,6 +1632,8 @@ class RawDataTPU:
                 RawDataTPU._mesc_frac = min(
                     1.0, max(RawDataTPU._mesc_frac,
                              1.25 * n_mesc / max(n_rec, 1)))
+            self.diag.add('payload_mesc_rows', n_mesc)
+            self.diag.add('payload_mesc_shipped', me_bound)
             m = expand_interval_meta(itv[:n_itv])
             assert len(m[0]) == n_rec, (len(m[0]), n_rec)
             payload_rows.append((n_rec, m, mask4, mesc[:n_mesc],
@@ -1647,7 +1653,7 @@ class RawDataTPU:
         t_split0 = time.perf_counter()
         results = [None] * len(wins)
         win_counts = np.zeros(len(wins), np.int64)
-        W_p, C_p, S_p, LEN_p, PLEN_p, RECI_p = ([] for _ in range(6))
+        W_p, C_p, S_p, PLEN_p, RECI_p = ([] for _ in range(5))
         for batch, (n_rec, m, *_rest) in zip(state['batches'],
                                              payload_rows):
             # split records by window (ascending by design)
@@ -1656,7 +1662,6 @@ class RawDataTPU:
             W_p.append(np.asarray(batch, np.int64)[m[0]])
             C_p.append(m[1])
             S_p.append(m[2])
-            LEN_p.append(m[3])
             PLEN_p.append(m[4])
             RECI_p.append(m[5])
         offsets = np.concatenate([[0], np.cumsum(win_counts)])
@@ -1677,13 +1682,12 @@ class RawDataTPU:
             win_left_all = np.fromiter((w['win_left'] for w in wins),
                                        np.int64, len(wins))
             recs = chunk_arr[:N]
-            recs['time'] = (win_left_all[W[order]]
-                            + S[order].astype(np.int64)) * dt
-            recs['channel'] = C[order]
-            recs['dt'] = dt
-            recs['length'] = np.concatenate(LEN_p)[order]
-            recs['pulse_length'] = np.concatenate(PLEN_p)[order]
-            recs['record_i'] = np.concatenate(RECI_p)[order]
+            # header fields ride the decode scatter below (stream-order
+            # inputs, written into each row's final sorted slot in the
+            # same pass that writes its samples) — the six strided
+            # structured-array assignments this replaces each re-touched
+            # every 244-byte record row
+            time64 = (win_left_all[W] + S.astype(np.int64)) * dt
             # decode each batch's sample stream DIRECTLY into its records'
             # final sorted slots (inverse permutation as the row map): the
             # dense temp, np.concatenate and permuted 'data' gather this
@@ -1691,8 +1695,10 @@ class RawDataTPU:
             inv = np.empty(N, np.int64)
             inv[order] = np.arange(N, dtype=np.int64)
             roff = 0
-            for n_rec, m, mask4, mesc, vals, escs, nix in payload_rows:
+            for (n_rec, m, mask4, mesc, vals, escs, nix), plen, reci in zip(
+                    payload_rows, PLEN_p, RECI_p):
                 rmap = inv[roff:roff + n_rec]
+                t64 = time64[roff:roff + n_rec]
                 roff += n_rec
                 if not n_rec:
                     continue
@@ -1702,11 +1708,14 @@ class RawDataTPU:
                         channel=m[1], start_s=m[2], left_ch=m[6],
                         nix_rec=nix[m[0]], bank=noise_host[0],
                         ext_cm=noise_host[1], out_records=recs,
-                        rowmap=rmap)
+                        rowmap=rmap, time_ns=t64, pulse_length=plen,
+                        record_i=reci, rec_dt=dt)
                 else:
                     decode_residual_records(
                         m[3], mask4, mesc, vals, escs, baseline,
-                        out_records=recs, rowmap=rmap)
+                        channel=m[1], out_records=recs,
+                        rowmap=rmap, time_ns=t64, pulse_length=plen,
+                        record_i=reci, rec_dt=dt)
         for wi in range(len(wins)):
             results[wi] = chunk_arr[offsets[wi]:offsets[wi + 1]]
         self.diag.add('records', N)
