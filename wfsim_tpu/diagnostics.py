@@ -25,6 +25,7 @@ class Timers:
         self.seconds = defaultdict(float)
         self.calls = defaultdict(int)
         self.counts = defaultdict(int)
+        self.series = defaultdict(list)
 
     @contextmanager
     def phase(self, name: str):
@@ -37,6 +38,11 @@ class Timers:
 
     def add(self, counter: str, n: int):
         self.counts[counter] += int(n)
+
+    def append(self, name: str, value):
+        """Record a per-call sample (kept as a list, not aggregated) —
+        for distribution questions the summed counters can't answer."""
+        self.series[name].append(value)
 
     def summary(self) -> dict:
         out = {f'{k}_s': round(v, 4) for k, v in self.seconds.items()}

@@ -141,10 +141,21 @@ def _conv_templates_mxu(H, templates):
     """Causal phase-bank convolution as a banded matmul.
 
     ``W[c, u] = sum_{r,k} H[c, r, u-k] * T[r, k]`` over 128-sample output
-    blocks: each block gathers its (10, 128+L-1) input patch (L-1 samples of
-    history) and contracts the flattened (10*(128+L-1),) axis against a
-    banded template matrix ``B[(r, m), u] = T[r, u-m+L-1]`` — a
-    (rows*blocks, 1490) x (1490, 128) MXU matmul in full f32.
+    blocks: each block's (10, 128+L-1) input patch (L-1 samples of history)
+    contracts its flattened (10*(128+L-1),) axis against a banded template
+    matrix ``B[(r, m), u] = T[r, u-m+L-1]`` — (rows, 1490) x (1490, 128)
+    MXU matmuls in full f32.
+
+    The blocks run as an unrolled loop of ``dynamic_slice`` + ``dot_general``
+    (one matmul per 128-sample block) rather than one
+    (rows*blocks, 1490)-row matmul over a gathered patch tensor: the
+    one-big-matmul form makes XLA materialize the (R, nseg, 10, M) patch
+    array through two full-size layout copies plus a reshape pass
+    (~37 ms of pure data movement per digitize call at bench shapes, 3x
+    the matmul itself), while the slice form reads ``Hp`` in place.
+    Measured A/B at the (31616, 10, 1024) trace shape: 56.3 -> 13.3
+    ms/call, compile 302 s -> 10 s; results agree to 1 f32 ulp (630 of
+    32.4M elements differ, reduction-order only).
     """
     R, dt, T = H.shape
     L = templates.shape[1]
@@ -152,19 +163,18 @@ def _conv_templates_mxu(H, templates):
     nseg = T // S
     M = S + L - 1
     Hp = jnp.pad(H, ((0, 0), (0, 0), (L - 1, 0)))
-    cols = (jnp.arange(nseg, dtype=jnp.int32)[:, None] * S
-            + jnp.arange(M, dtype=jnp.int32)[None, :])      # (nseg, M)
-    P = Hp[:, :, cols]                                      # (R, dt, nseg, M)
-    P = P.transpose(0, 2, 1, 3).reshape(R * nseg, dt * M)
     u = jnp.arange(S, dtype=jnp.int32)[None, :]
     m = jnp.arange(M, dtype=jnp.int32)[:, None]
     k = u - m + (L - 1)                                     # (M, S)
     band = jnp.where((k >= 0) & (k < L),
                      templates[:, jnp.clip(k, 0, L - 1)],   # (dt, M, S)
-                     0.0)
-    W = jax.lax.dot_general(
-        P, band.reshape(dt * M, S),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    return W.reshape(R, T)
+                     0.0).reshape(dt * M, S)
+    outs = []
+    for j in range(nseg):
+        Pj = jax.lax.dynamic_slice(Hp, (0, 0, j * S), (R, dt, M))
+        outs.append(jax.lax.dot_general(
+            Pj.reshape(R, dt * M), band,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(outs, axis=1)

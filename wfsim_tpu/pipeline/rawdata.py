@@ -1634,6 +1634,7 @@ class RawDataTPU:
                              1.25 * n_mesc / max(n_rec, 1)))
             self.diag.add('payload_mesc_rows', n_mesc)
             self.diag.add('payload_mesc_shipped', me_bound)
+            self.diag.append('mesc_frac', (n_rec, n_mesc))
             m = expand_interval_meta(itv[:n_itv])
             assert len(m[0]) == n_rec, (len(m[0]), n_rec)
             payload_rows.append((n_rec, m, mask4, mesc[:n_mesc],
