@@ -13,9 +13,11 @@ reference's algorithm in its vectorized-numpy form.  numba typically gains
 2-5x over numpy on the per-photon loops, so treat `vs_baseline`
 conservatively.
 
-Stability rules (round-2 protocol): the CPU baseline is the MEDIAN of 5 runs
-over 64 events each with pinned seeds; the TPU number is the median of 3
-full runs after a compile warmup.  The JSON also reports spreads, the
+Stability rules (round-2 protocol, tightened round 3): the CPU baseline is
+the MEDIAN of 5 runs over 64 events each with pinned seeds; the TPU number
+is the median of 5 full runs after TWO warmup runs (one compiles, one pays
+the first-touch/one-off host costs this virtualized image charges the first
+post-compile run).  The JSON also reports spreads, the
 device-phase wall breakdown (so tunnel transfer overhead is quantified, not
 hand-waved), and a kernel-level A/B: the device add_current-equivalent
 (photons -> per-channel waveform grid) photon rate vs the reference's
@@ -52,7 +54,7 @@ def _make_inst(n, amp_s1, amp_s2):
     return inst
 
 
-def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3,
+def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
                 realistic=False):
     from wfsim_tpu.config import default_config
     from wfsim_tpu.interface.simulator import Simulator
@@ -72,6 +74,12 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=3,
     inst = _make_inst(n_events, amp_s1, amp_s2)
     sim = Simulator(c)
     _ = sim.get_arrays(inst)     # warmup (compiles)
+    # second warmup in the exact timed pattern (fresh Simulator): first
+    # post-compile runs still pay one-off host costs on this virtualized
+    # image (first-touch page faults at 40-70 MB/s, lazy compile-cache
+    # serialization) that can pollute several seconds into run 1
+    sim = Simulator(c)
+    _ = sim.get_arrays(inst)
 
     times, diags = [], []
     n_photons = 0
