@@ -55,7 +55,7 @@ def _make_inst(n, amp_s1, amp_s2):
 
 
 def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
-                realistic=False):
+                realistic=False, ceiling=False):
     from wfsim_tpu.config import default_config
     from wfsim_tpu.interface.simulator import Simulator
 
@@ -70,6 +70,12 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
         c = default_config()
     c['chunk_size'] = 100
     c['seed'] = 1234
+    if ceiling:
+        # device-bound ceiling: full device pipeline (sim, digitize, encode,
+        # transport prep) but no payload wire copies and no host decode —
+        # what a directly-attached (PCIe/ICI) deployment's device side
+        # sustains; records return empty, truth is unaffected
+        c['_bench_device_ceiling'] = True
 
     inst = _make_inst(n_events, amp_s1, amp_s2)
     sim = Simulator(c)
@@ -480,6 +486,8 @@ def _device_peaks():
 def main():
     tpu = measure_tpu()
     tpu_real = measure_tpu(realistic=True)
+    ceil = measure_tpu(ceiling=True)
+    ceil_real = measure_tpu(realistic=True, ceiling=True)
     cpu = measure_cpu_baseline()
     cpu_real = measure_cpu_baseline(
         realistic=True, ap_photon_frac=tpu_real['ap_photon_frac'])
@@ -512,6 +520,20 @@ def main():
             'tpu_run_seconds': tpu_real['run_seconds'],
             'ap_photon_frac': tpu_real['ap_photon_frac'],
             'device_phases': tpu_real['device_phases'],
+        },
+        # measured device-bound ceiling (full device pipeline, no payload
+        # wire / host decode): the throughput the same pipeline sustains
+        # when the tunnel transfer term collapses (directly-attached TPU)
+        'device_ceiling': {
+            'events_per_sec': round(ceil['events_per_sec'], 3),
+            'vs_baseline': round(ceil['events_per_sec']
+                                 / cpu['events_per_sec'], 2),
+            'run_seconds': ceil['run_seconds'],
+            'realistic_events_per_sec':
+                round(ceil_real['events_per_sec'], 3),
+            'realistic_vs_baseline': round(ceil_real['events_per_sec']
+                                           / cpu_real['events_per_sec'], 2),
+            'realistic_run_seconds': ceil_real['run_seconds'],
         },
         'addcurrent_kernel_photons_per_sec':
             round(kern['photons_per_sec'], 1),

@@ -51,6 +51,22 @@ def test_raw_records_sane(basic_run):
     assert np.all(rr['pulse_length'] >= rr['length'])
 
 
+def test_device_ceiling_mode(basic_run):
+    """The bench-only device-ceiling mode (_bench_device_ceiling) runs the
+    full device pipeline but skips the payload transfer + host decode:
+    records come back empty, truth is bitwise-identical to a normal run."""
+    c, inst, out = basic_run
+    c2 = dict(c, _bench_device_ceiling=True)
+    out2 = Simulator(c2).get_arrays(inst)
+    assert len(out2['raw_records']) == 0
+    assert len(out['raw_records']) > 0
+    t1, t2 = out['truth'], out2['truth']
+    assert len(t1) == len(t2)
+    for name in t1.dtype.names:
+        assert np.array_equal(t1[name], t2[name],
+                              equal_nan=t1[name].dtype.kind == 'f'), name
+
+
 def test_truth_matches_instructions(basic_run):
     c, inst, out = basic_run
     truth = out['truth']

@@ -229,6 +229,13 @@ class RawDataTPU:
         self.const = build_constants(self.config)
         seed = self.config.get('seed') or 0
         self.rng = np.random.default_rng(seed if seed else None)
+        # bench-only: run the FULL device pipeline (sim, digitize, encode,
+        # pack) but never start the payload wire copies and skip the host
+        # decode — measures the device-bound throughput ceiling a
+        # directly-attached deployment would see (records come back empty;
+        # truth is unaffected)
+        self._device_ceiling = bool(
+            self.config.get('_bench_device_ceiling', False))
         self.mesh = mesh
         self._ev_shards = int(mesh.shape['events']) if mesh is not None else 1
         # rbg maps to the TPU hardware bit generator and cuts sim kernel time
@@ -1501,13 +1508,20 @@ class RawDataTPU:
         # a handful of 16 MB transfer slices instead of one collect round
         # trip per digitize call (24-74 calls/run measured; 5-30 ms each
         # through the relay)
-        tok = _start_sliced_copies(
-            [parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-             for parts in stream_parts]) if sizes else None
+        if self._device_ceiling:
+            # ceiling mode: the per-call device slices above still execute
+            # (the transport prep is device work a real deployment pays)
+            # but no wire copy ever starts
+            tok = None
+        else:
+            tok = _start_sliced_copies(
+                [parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                 for parts in stream_parts]) if sizes else None
         self.diag.seconds['digitize_pack_dispatch'] += \
             time.perf_counter() - t0
         return dict(wins=wins, sizes=sizes, batches=batches_meta, tok=tok,
                     baseline=baseline, dt=dt,
+                    ceiling=self._device_ceiling,
                     noise_host=(self._noise_host_bank()
                                 if noise_on else None))
 
@@ -1586,6 +1600,20 @@ class RawDataTPU:
         noise_host = state['noise_host']
         dt = state['dt']
         spr = DEFAULT_RECORD_LENGTH
+
+        if state.get('ceiling'):
+            # device-ceiling bench mode: block until every pack kernel of
+            # the round has executed (one stacked tiny fetch — a free join
+            # in steady state, the collect runs a super-batch after
+            # dispatch), then skip the wire payload and host decode
+            t0 = time.perf_counter()
+            if state['sizes']:
+                _fetch_in_slices([s[5]['rec_values'][:1]
+                                  for s in state['sizes']])
+            self.diag.seconds['digitize_payload_fetch'] += \
+                time.perf_counter() - t0
+            empty = np.empty(0, raw_record_dtype(spr))
+            return [empty] * len(wins)
 
         t0 = time.perf_counter()
         nbytes = 0
