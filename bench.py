@@ -55,7 +55,7 @@ def _make_inst(n, amp_s1, amp_s2):
 
 
 def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
-                realistic=False, ceiling=False):
+                realistic=False, ceiling=False, wire_probes=True):
     from wfsim_tpu.config import default_config
     from wfsim_tpu.interface.simulator import Simulator
 
@@ -87,7 +87,7 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
     sim = Simulator(c)
     _ = sim.get_arrays(inst)
 
-    times, diags = [], []
+    times, diags, wires = [], [], []
     n_photons = 0
     ap_photon_frac = 0.0
     for _ in range(repeats):
@@ -103,8 +103,16 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
             # — sizes the matching extra work in the CPU baseline
             ap_photon_frac = float(
                 truth['n_photon'][truth['type'] > 2].sum() / n_photons)
+        if wire_probes and not ceiling:
+            # small per-run wire probe (outside the timed region): a bad-
+            # weather run self-identifies in the record instead of silently
+            # skewing the median (round-3 verdict: a 9.9 s outlier rode an
+            # 18 MB/s relay while quiet runs saw 41-45 MB/s)
+            wires.append(round(
+                measure_wire_bandwidth(nbytes=8_000_000)['wire_mbps'], 1))
     dt = statistics.median(times)
-    diag = diags[int(np.argsort(times)[len(times) // 2])]
+    med_i = int(np.argsort(times)[len(times) // 2])
+    diag = diags[med_i]
     phases = {k: round(v, 3) for k, v in sorted(diag.seconds.items())}
     phases['payload_bytes'] = int(diag.counts.get('payload_bytes', 0))
     return dict(events_per_sec=n_events / dt,
@@ -112,6 +120,8 @@ def measure_tpu(n_events=512, amp_s1=2000, amp_s2=300, repeats=5,
                 n_photons=n_photons,
                 ap_photon_frac=round(ap_photon_frac, 4),
                 run_seconds=[round(t, 3) for t in times],
+                wire_mbps_runs=wires,
+                wire_mbps_median_run=(wires[med_i] if wires else None),
                 device_phases=phases)
 
 
@@ -219,11 +229,34 @@ def _cpu_baseline_once(n_events, amp_s1, amp_s2, seed, realistic=False,
                 if realistic and channel < n_top:
                     # high-energy copy row (reference rawdata.py:241-247):
                     # deamped to zero by the int cast but still masked, so
-                    # it gets baseline, saturation and a ZLE scan
+                    # it gets the SAME full treatment as the signal row —
+                    # baseline add, saturation clip and the complete
+                    # interval scan + (never-taken) extraction branch
+                    # (reference utils.py:14-58 scans every masked sample
+                    # regardless of content)
                     adc_he = adc * 0
                     adc_he += 16000
                     np.clip(adc_he, 0, None, out=adc_he)
-                    (adc_he < 15984).any()
+                    below_he = adc_he < 15984
+                    if below_he.any():
+                        lo = max(int(np.argmax(below_he)) - 50, 0)
+                        hi = min(len(adc_he) - 1,
+                                 int(len(below_he)
+                                     - np.argmax(below_he[::-1])) + 50)
+                        pulse = adc_he[lo:hi + 1]
+                        plen = len(pulse)
+                        nrec = -(-plen // 110)
+                        np.pad(pulse, (0, nrec * 110 - plen),
+                               'constant').reshape(-1, 110).astype(np.int16)
+                elif realistic:
+                    # bottom-array channel: the deamped copy feeds the
+                    # sum-signal channel instead (reference
+                    # rawdata.py:249-254 sum_signal) — one multiply + one
+                    # accumulation pass; ch 800 is never masked, so it gets
+                    # no noise/baseline/ZLE (replicated in the TPU path)
+                    adc_he = adc * 0
+                    sum_sig = np.zeros(len(adc_he), np.int64)
+                    sum_sig += adc_he
     dt = time.perf_counter() - t0
     return n_events / dt, total_photons / dt
 
@@ -496,7 +529,7 @@ def main():
     wire = measure_wire_bandwidth()
     hbm = measure_digitize_hbm()
     kind, peak_flops, peak_hbm = _device_peaks()
-    print(json.dumps({
+    detail = {
         'metric': 'full S1+S2 events/sec (494ch, ~11k photons/event, '
                   'one TPU chip vs single-core numpy reference)',
         'value': round(tpu['events_per_sec'], 3),
@@ -507,6 +540,7 @@ def main():
         'events_per_sec_cpu_baseline': round(cpu['events_per_sec'], 3),
         'cpu_baseline_runs': cpu['events_per_sec_runs'],
         'tpu_run_seconds': tpu['run_seconds'],
+        'wire_mbps_runs': tpu['wire_mbps_runs'],
         'device_phases': tpu['device_phases'],
         # co-equal REALISTIC line (BASELINE config 3: noise + PMT/electron
         # afterpulses ON) with its own measured, matched-work CPU baseline
@@ -518,6 +552,7 @@ def main():
                 round(cpu_real['events_per_sec'], 3),
             'cpu_baseline_runs': cpu_real['events_per_sec_runs'],
             'tpu_run_seconds': tpu_real['run_seconds'],
+            'wire_mbps_runs': tpu_real['wire_mbps_runs'],
             'ap_photon_frac': tpu_real['ap_photon_frac'],
             'device_phases': tpu_real['device_phases'],
         },
@@ -550,6 +585,36 @@ def main():
             'superposition_mxu_tflops': round(kern['mxu_tflops'], 2),
             'mxu_peak_bf16_tflops': peak_flops,
         },
+    }
+    # full detail: printed FIRST and mirrored to a file; the driver only
+    # captures the tail of stdout (the round-3 record lost its headline to
+    # truncation when the single line outgrew the 2,000-char capture)
+    print(json.dumps(detail), flush=True)
+    try:
+        with open('BENCH_DETAIL.json', 'w') as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    # compact summary LAST (well under the capture window): the headline
+    # numbers plus the per-run wall/wire pairs so a degraded-relay outlier
+    # inside the median self-identifies
+    print(json.dumps({
+        'metric': detail['metric'],
+        'value': detail['value'],
+        'unit': 'events/s',
+        'vs_baseline': detail['vs_baseline'],
+        'cpu_baseline_ev_s': detail['events_per_sec_cpu_baseline'],
+        'realistic_ev_s': detail['realistic']['events_per_sec'],
+        'realistic_vs_baseline': detail['realistic']['vs_baseline'],
+        'ceiling_ev_s': detail['device_ceiling']['events_per_sec'],
+        'ceiling_realistic_ev_s':
+            detail['device_ceiling']['realistic_events_per_sec'],
+        'kernel_vs_ref_loop': detail['addcurrent_kernel_vs_ref_loop'],
+        'tpu_run_seconds': tpu['run_seconds'],
+        'wire_mbps_runs': tpu['wire_mbps_runs'],
+        'realistic_run_seconds': tpu_real['run_seconds'],
+        'realistic_wire_mbps_runs': tpu_real['wire_mbps_runs'],
+        'detail': 'BENCH_DETAIL.json',
     }))
 
 

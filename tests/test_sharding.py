@@ -101,3 +101,75 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_sharded_step_hlo_has_only_documented_collectives():
+    """Compiled-HLO audit of the multi-chip step: the ONLY cross-device
+    communication must be the documented reductions — the bottom-array
+    sum-signal psum over 'channels' and the truth-aggregate psum over
+    'events' (parallel/sharding.py:113-126).  Catches regressions where a
+    layout/sharding change makes GSPMD insert all-gathers or reshards of
+    the big per-shard arrays (photon buffers, waveform grid) — multi-chip
+    efficiency evidenced on the compiler IR since real multi-chip hardware
+    is unavailable here."""
+    import re
+
+    config = default_config()
+    resource = load_config(config)
+    params = build_params(config, resource)
+    const = build_constants(config)
+
+    mesh = make_mesh(4, 2)
+    inst_per_shard = 4
+    n_inst = inst_per_shard * mesh.shape['events']
+    rng = np.random.default_rng(0)
+    inst = dict(
+        time=jnp.asarray((np.arange(n_inst) % inst_per_shard) * 100_000,
+                         dtype=jnp.int32),
+        x=jnp.asarray(rng.uniform(-40, 40, n_inst), dtype=jnp.float32),
+        y=jnp.asarray(rng.uniform(-40, 40, n_inst), dtype=jnp.float32),
+        z=jnp.asarray(rng.uniform(-90, -10, n_inst), dtype=jnp.float32),
+        amp=jnp.asarray(rng.integers(50, 500, n_inst), dtype=jnp.int32),
+        recoil=jnp.full(n_inst, 7, dtype=jnp.int32),
+        type=jnp.asarray(np.tile([1, 2], n_inst // 2), dtype=jnp.int32),
+        valid=jnp.ones(n_inst, dtype=bool),
+        truth_row=jnp.asarray(np.arange(n_inst) % inst_per_shard,
+                              dtype=jnp.int32),
+    )
+    step = make_sharded_step(params, const, mesh,
+                             inst_per_shard=inst_per_shard,
+                             photon_capacity=2048, electron_capacity=512,
+                             n_samples=512)
+    # run once to make sure it executes, then compile-inspect the jitted step
+    adc, sum_signal, totals = step(params, inst, jax.random.key(0))
+    jax.block_until_ready((adc, sum_signal, totals))
+
+    # lower the same computation and read the compiled module text
+    # (make_sharded_step returns a closure; lowering the closure compiles
+    # the shard_map body it wraps)
+    lowered = jax.jit(lambda p, i, k: step(p, i, k)).lower(
+        params, inst, jax.random.key(0))
+    txt = lowered.compile().as_text()
+
+    # forbidden: data-moving collectives (a resharded big array shows up as
+    # one of these)
+    for bad in ('all-gather', 'all-to-all', 'collective-permute',
+                'reduce-scatter'):
+        assert bad not in txt, f'unexpected {bad} in compiled sharded step'
+
+    # allowed: all-reduce (psum) — but only on SMALL aggregates (sum-signal
+    # row + truth scalars), never on the waveform grid / photon buffers
+    big = []
+    for m in re.finditer(r'all-reduce[^=\n]*=\s*([a-z0-9]+)\[([0-9,]*)\]',
+                         txt):
+        dtype_s, shape_s = m.group(1), m.group(2)
+        n_elem = 1
+        for d in filter(None, shape_s.split(',')):
+            n_elem *= int(d)
+        itemsize = 8 if '64' in dtype_s else 4
+        if n_elem * itemsize > 1_000_000:
+            big.append((dtype_s, shape_s))
+    assert not big, f'all-reduce on large arrays: {big}'
+    assert 'all-reduce' in txt, \
+        'expected the documented psum collectives in the compiled step'
