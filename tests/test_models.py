@@ -121,8 +121,9 @@ def test_pmt_afterpulses_rate_and_delay():
                                       n_truth_rows=1)
     total = int(info['total'])
     assert int(info['counts'][0]) == min(total, 8192)
-    # synthetic AP probability is ~0.6% over two species
-    assert 0.002 * n < total < 0.02 * n
+    # synthetic AP probability is ~2.5% over two species (measured
+    # R11410-21 scale — see PARITY.md "Synthetic asset magnitudes")
+    assert 0.012 * n < total < 0.05 * n
     t = np.asarray(ap['t'])[np.asarray(ap['valid'])]
     # delays can undershoot by up to pmt_ap_t_modifier (reference
     # afterpulse.py:223 subtracts it from the CDF index)

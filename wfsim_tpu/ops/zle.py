@@ -44,12 +44,33 @@ def find_intervals(below: jnp.ndarray, *, holdoff: int, max_intervals: int):
     zero = jnp.zeros((C, 1), jnp.int32)
     csum_p = jnp.concatenate([zero, csum], axis=1)   # csum_p[i] = sum(x[:i])
 
+    def shifted(s):
+        # csum_p[clip(i + s, 0, T)] for i in 0..T-1, STATIC shift s: an
+        # edge-padded slice instead of a (C, T) take_along_axis gather —
+        # the four windowed-sum gathers were ~25% of the ZLE pass's HBM
+        # time (gathers don't stream; slices do)
+        if s == 0:
+            return jax.lax.slice(csum_p, (0, 0), (C, T))
+        if s <= -T:
+            return jnp.broadcast_to(csum_p[:, :1], (C, T))
+        if s < 0:
+            pad = jnp.broadcast_to(csum_p[:, :1], (C, -s))
+            return jnp.concatenate(
+                [pad, jax.lax.slice(csum_p, (0, 0), (C, T + s))], axis=1)
+        # s > 0: take csum_p[:, s : s+T], edge-padding past T
+        avail = csum_p.shape[1] - s          # columns available from s
+        if avail >= T:
+            return jax.lax.slice(csum_p, (0, s), (C, s + T))
+        if avail <= 0:
+            return jnp.broadcast_to(csum_p[:, -1:], (C, T))
+        tail = jnp.broadcast_to(csum_p[:, -1:], (C, T - avail))
+        return jnp.concatenate(
+            [jax.lax.slice(csum_p, (0, s), (C, csum_p.shape[1])), tail],
+            axis=1)
+
     def win_sum(lo_shift, hi_shift):
         # sum over x[i+lo_shift .. i+hi_shift] inclusive
-        hi = jnp.clip(idx + hi_shift + 1, 0, T)
-        lo = jnp.clip(idx + lo_shift, 0, T)
-        return (jnp.take_along_axis(csum_p, hi, axis=1)
-                - jnp.take_along_axis(csum_p, lo, axis=1))
+        return shifted(hi_shift + 1) - shifted(lo_shift)
 
     prev_any = win_sum(-holdoff, -1) > 0
     next_any = win_sum(1, holdoff) > 0

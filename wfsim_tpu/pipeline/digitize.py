@@ -278,6 +278,12 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
             data = data.at[:, :nch].add(novl)
         data = data + jnp.where(in_win, const.digitizer_reference_baseline, 0)
         data = jnp.where(in_win, jnp.maximum(data, 0), data)
+        # int16 from here on: every in-window sample is clipped to
+        # [0, baseline + noise] and ZLE/pack/counts never read out-of-window
+        # cells (whose wrap was equally present in the old end-of-kernel
+        # cast) — halves the HBM bytes of the ZLE threshold pass and the
+        # pack gathers
+        data = data.astype(jnp.int16)
 
         K = max_intervals
         zthr = jnp.broadcast_to(params.zle_thresholds[None, :C],
@@ -295,9 +301,10 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
         if novl is not None:
             # transport view: ZLE/saturation saw the noisy waveform; strip
             # the (host-reconstructible) overlay so the wire payload keeps
-            # no-noise sparsity (add_noise_host re-applies it exactly)
-            data = data.at[:, :nch].add(-novl)
-        data = data.astype(jnp.int16)
+            # no-noise sparsity (add_noise_host re-applies it exactly);
+            # residual values are in-window signal+baseline minus noise —
+            # they fit int16 exactly as the old int32-subtract-then-cast did
+            data = data.at[:, :nch].add((-novl).astype(jnp.int16))
     else:
         adc = (-jnp.round(W * const.current_2_adc)).astype(jnp.int32)
         adc = adc.reshape(B, C, T)
@@ -479,43 +486,17 @@ def pack_records(data, left_all, starts, ends, itv_valid, *,
     return dict(rec_data=rws, rec_meta=meta)
 
 
-@partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
-                                   'max_intervals', 'max_records',
-                                   'max_values', 'baseline'))
-def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
-                         n_channels_total: int,
-                         n_samples: int,
-                         max_intervals: int,
-                         max_records: int,
-                         max_values: int,
-                         baseline: int):
-    """Pack ZLE intervals into records in *encoded transport* form.
-
-    Instead of the dense (max_records, 110) int16 payload, emits per record a
-    110-bit mask of samples that differ from the predicted row — baseline
-    inside the pulse, zero in the tail pad — plus the differing samples as a
-    DPCM stream: each masked sample is sent as an int8 delta from the
-    *previous masked sample of the same record* (baseline for the first one),
-    with -128 reserved as an escape marker whose absolute int16 value rides a
-    separate (tiny) escape buffer. Noise-free pulses are ~65% exactly
-    baseline + ~17% tail pad; noisy/bright pulses are sample-to-sample smooth
-    (noise deltas are a few ADC counts, S2 envelopes rise over ~50+ samples),
-    so deltas almost always fit int8 and the value stream halves again vs
-    int16. Metadata is sent per ZLE INTERVAL, not per record —
-    [window*2048+channel, start, pulse_length, window_left], bit-packed
-    into 2 int32 words when the static shapes allow (see the packing
-    comment below), else 4 plain words; the host re-derives every record's
-    (start, length, record_i) with `expand_interval_meta` (records of an
-    interval are consecutive in the natural emission order). Exact by
-    construction for any input.
-
-    Returns dict(itv_meta (R, 2 or 4) int32 — R bounds the interval count
-    since every live interval has >=1 record — rec_masks (R,14) uint8 (the
-    full bitmask form, kept for oracles/tests; not shipped), rec_mask4
-    (R,4) uint8 + rec_mask_esc (R,14) uint8 (the compact wire form: <=2-run
-    descriptors with escaped full masks compacted in record order),
-    rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
-    """
+def _pack_streams(data, left_all, starts, ends, itv_valid, *,
+                  n_channels_total: int,
+                  n_samples: int,
+                  max_intervals: int,
+                  max_records: int,
+                  max_values: int,
+                  baseline: int):
+    """Traced core of :func:`pack_records_encoded` (see its docstring for
+    the transport format); also reused by
+    :func:`pack_records_accumulate`, which writes the streams into
+    donated round-level buffers instead of returning per-call arrays."""
     spr = SAMPLES_PER_RECORD
     T = n_samples
     C_all = n_channels_total
@@ -655,6 +636,111 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     return dict(itv_meta=itv_meta, rec_masks=masks, rec_mask4=rec_mask4,
                 rec_mask_esc=rec_mask_esc, rec_values=d8,
                 rec_escapes=esc_vals, n_escapes=n_escapes)
+
+
+@partial(jax.jit, static_argnames=('n_channels_total', 'n_samples',
+                                   'max_intervals', 'max_records',
+                                   'max_values', 'baseline'))
+def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
+                         n_channels_total: int,
+                         n_samples: int,
+                         max_intervals: int,
+                         max_records: int,
+                         max_values: int,
+                         baseline: int):
+    """Pack ZLE intervals into records in *encoded transport* form.
+
+    Instead of the dense (max_records, 110) int16 payload, emits per record a
+    110-bit mask of samples that differ from the predicted row — baseline
+    inside the pulse, zero in the tail pad — plus the differing samples as a
+    DPCM stream: each masked sample is sent as an int8 delta from the
+    *previous masked sample of the same record* (baseline for the first one),
+    with -128 reserved as an escape marker whose absolute int16 value rides a
+    separate (tiny) escape buffer. Noise-free pulses are ~65% exactly
+    baseline + ~17% tail pad; noisy/bright pulses are sample-to-sample smooth
+    (noise deltas are a few ADC counts, S2 envelopes rise over ~50+ samples),
+    so deltas almost always fit int8 and the value stream halves again vs
+    int16. Metadata is sent per ZLE INTERVAL, not per record —
+    [window*2048+channel, start, pulse_length, window_left], bit-packed
+    into 2 int32 words when the static shapes allow, else 4 plain words;
+    the host re-derives every record's (start, length, record_i) with
+    `expand_interval_meta` (records of an interval are consecutive in the
+    natural emission order). Exact by construction for any input.
+
+    Returns dict(itv_meta (R, 2 or 4) int32 — R bounds the interval count
+    since every live interval has >=1 record — rec_masks (R,14) uint8 (the
+    full bitmask form, kept for oracles/tests; not shipped), rec_mask4
+    (R,4) uint8 + rec_mask_esc (R,14) uint8 (the compact wire form: <=2-run
+    descriptors with escaped full masks compacted in record order),
+    rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
+    """
+    return _pack_streams(data, left_all, starts, ends, itv_valid,
+                         n_channels_total=n_channels_total,
+                         n_samples=n_samples, max_intervals=max_intervals,
+                         max_records=max_records, max_values=max_values,
+                         baseline=baseline)
+
+
+@partial(jax.jit,
+         static_argnames=('n_channels_total', 'n_samples', 'max_intervals',
+                          'max_records', 'max_values', 'baseline',
+                          'itv_words_cap', 'rec_rows_cap', 'mesc_rows_cap',
+                          'vals_cap', 'escs_cap'),
+         donate_argnums=(0, 1, 2, 3, 4))
+def pack_records_accumulate(out_itv, out_mask4, out_mesc, out_vals, out_escs,
+                            offs,
+                            data, left_all, starts, ends, itv_valid, *,
+                            n_channels_total: int,
+                            n_samples: int,
+                            max_intervals: int,
+                            max_records: int,
+                            max_values: int,
+                            baseline: int,
+                            itv_words_cap: int,
+                            rec_rows_cap: int,
+                            mesc_rows_cap: int,
+                            vals_cap: int,
+                            escs_cap: int):
+    """:func:`pack_records_encoded`, but the five transport streams are
+    written in place into donated ROUND-level buffers at host-computed
+    offsets, so one digitize round ships a handful of contiguous buffers
+    instead of per-call slices + concatenations (each of which was its own
+    relay-dispatched device program — the round-3 ceiling decomposition
+    measured the pack-phase join dominated by program-boundary overhead,
+    not pack compute).
+
+    Write windows are the power-of-two ``*_cap`` bounds while offsets
+    advance by the EXACT sizes, and calls execute in offset order (the
+    donation chain serializes them), so each call's padded tail is
+    overwritten by the next call's real data; the final tail past the last
+    exact offset is sliced off host-side.  Callers must size each buffer
+    >= sum(exact sizes) + max(cap) so no dynamic_update_slice start gets
+    clamped (clamping would silently corrupt an earlier call's region).
+
+    :param offs: (5,) int32 device array — write offsets for (itv words,
+        mask4 rows, escaped-mask rows, values, escape values)
+    :returns: (out_itv, out_mask4, out_mesc, out_vals, out_escs,
+        rec_mask_esc_full, rec_escapes_full) — the last two keep the
+        per-call full streams available for the rare host-side
+        bound-overflow refetch.
+    """
+    p = _pack_streams(data, left_all, starts, ends, itv_valid,
+                      n_channels_total=n_channels_total,
+                      n_samples=n_samples, max_intervals=max_intervals,
+                      max_records=max_records, max_values=max_values,
+                      baseline=baseline)
+    out_itv = jax.lax.dynamic_update_slice(
+        out_itv, p['itv_meta'].reshape(-1)[:itv_words_cap], (offs[0],))
+    out_mask4 = jax.lax.dynamic_update_slice(
+        out_mask4, p['rec_mask4'][:rec_rows_cap], (offs[1], 0))
+    out_mesc = jax.lax.dynamic_update_slice(
+        out_mesc, p['rec_mask_esc'][:mesc_rows_cap], (offs[2], 0))
+    out_vals = jax.lax.dynamic_update_slice(
+        out_vals, p['rec_values'][:vals_cap], (offs[3],))
+    out_escs = jax.lax.dynamic_update_slice(
+        out_escs, p['rec_escapes'][:escs_cap], (offs[4],))
+    return (out_itv, out_mask4, out_mesc, out_vals, out_escs,
+            p['rec_mask_esc'], p['rec_escapes'])
 
 
 def expand_interval_meta(itv_meta):

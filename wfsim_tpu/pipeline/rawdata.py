@@ -81,6 +81,12 @@ def _device_memory_budget():
             if limit:
                 # leave 25% headroom for the sim buffers + XLA scratch
                 budget = int(limit * 0.75)
+            elif jax.default_backend() == 'tpu':
+                # relay-attached TPUs report no stats; every deployed
+                # generation has >= 16 GB HBM (v5e/v5 lite: 16 GB), so the
+                # blind-6GB fallback halved the digitize window batch for
+                # nothing — same 25% headroom off the known floor
+                budget = int(16e9 * 0.75)
         except Exception:
             pass
         _MEM_BUDGET_CACHE = budget
@@ -1349,21 +1355,41 @@ class RawDataTPU:
                              T_cap=_bucket(T, lo=512, hi=2 ** 20),
                              n_phot=n_phot, flush=flush, noise_ix=nix))
 
-        # bucket windows by (T_cap, N_cap, P_cap); coarse buckets: each
-        # distinct shape costs a compile, each call a dispatch round trip
-        # 512 halves the grid for short (S2-span) windows; one extra shape
-        # bucket vs 1024 was worth it once the sub-split landed
+        # Bucket windows by (T_cap, photon-capacity TIER) only — NOT the
+        # exact (T, N, P) triple: per-round digitize calls are the unit of
+        # program-dispatch overhead (the round-3 ceiling was dominated by
+        # program boundaries, ~6 shape buckets x pipeline rotations), and
+        # the grid cost depends on T alone.  Within a bucket the photon
+        # axis pads to the bucket max (gather/scatter work is ~n_cap*16 B
+        # per window — noise vs the C*T*10 grid), so windows of one T share
+        # one call.  The 16x tier keeps a lone monster window (high-rate
+        # configs) from inflating every small window's photon axis.
         t_floor = int(self.config.get('digitize_t_floor', 512))
-        # 2048 matches typical per-window photon counts; 8192 left the
-        # digitize photon axis ~5x padding (a few more shape buckets is
-        # cheaper than 4x wasted scatter/gather lanes)
         n_floor = int(self.config.get('digitize_n_floor', 2048))
-        buckets: ty.Dict[tuple, list] = {}
+        by_t: ty.Dict[int, list] = {}
         for i, w in enumerate(wins):
-            n_cap = _bucket(w['n_phot'], lo=n_floor)
-            p_cap = _bucket(len(w['grp']), lo=4, hi=2 ** 14)
-            t_cap = max(w['T_cap'], t_floor)
-            buckets.setdefault((t_cap, n_cap, p_cap), []).append(i)
+            by_t.setdefault(max(w['T_cap'], t_floor), []).append(i)
+        buckets: ty.Dict[tuple, list] = {}
+        for t_cap, t_indices in by_t.items():
+            n_max = _bucket(max(wins[i]['n_phot'] for i in t_indices),
+                            lo=n_floor)
+            if n_max <= 16 * n_floor:
+                tiers = {n_max: t_indices}
+            else:
+                # only a monster window (high-rate configs) splits the T
+                # group, so it can't inflate every small window's photon axis
+                tiers = {}
+                for i in t_indices:
+                    nc = _bucket(wins[i]['n_phot'], lo=n_floor)
+                    tiers.setdefault(
+                        n_max if nc > 16 * n_floor else 16 * n_floor,
+                        []).append(i)
+            for tier_cap, indices in tiers.items():
+                n_cap = _bucket(max(wins[i]['n_phot'] for i in indices),
+                                lo=n_floor)
+                p_cap = _bucket(max(len(wins[i]['grp']) for i in indices),
+                                lo=4, hi=2 ** 14)
+                buckets[(t_cap, n_cap, p_cap)] = indices
 
         max_itv = int(self.config.get('zle_max_intervals', 64))
         self.diag.seconds['digitize_group'] += time.perf_counter() - t_grp0
@@ -1409,6 +1435,10 @@ class RawDataTPU:
                              + n_cap * 16)
             b_max = max(1, budget // bytes_per_win)
             b_max = 2 ** int(np.log2(b_max))   # power of two (shape bucketing)
+            # 128-window ceiling keeps the pack's 2-word bit-packed interval
+            # meta applicable (w*2048+c needs <= 18 bits) and bounds the
+            # transient grid working set
+            b_max = min(b_max, 128)
             for lo in range(0, len(indices), b_max):
                 batch = indices[lo:lo + b_max]
                 nix, res = dispatch(batch, T_cap, n_cap, p_cap)
@@ -1438,7 +1468,7 @@ class RawDataTPU:
         Runs AFTER the previous round's payload collect (see iter_windows),
         so the counts wait — digitize compute + one tunnel round trip —
         overlaps that collect's wire streaming and host-side decode."""
-        from .digitize import pack_records_encoded
+        from .digitize import pack_records_accumulate
 
         if pre is None:
             return None
@@ -1446,11 +1476,14 @@ class RawDataTPU:
                                     pre['max_itv'], pre['dt'])
         noise_on = pre['noise_on']
 
-        # phase 1b: ONE tiny fetch of all record counts (the trailer values),
-        # then slice each call's meta+payload ON DEVICE to its actual size
-        # and start the async wire copies; the blocking collects happen in
-        # _collect_digitize, typically one super-batch later, so the
-        # transfers stream while the next batch's sim kernels execute
+        # phase 1b: ONE tiny fetch of all record counts (the trailer
+        # values), then pack every call's streams DIRECTLY into five
+        # donated round-level buffers at host-computed offsets
+        # (pack_records_accumulate) and start the async wire copies; the
+        # blocking collects happen in _collect_digitize, typically one
+        # super-batch later, so the transfers stream while the next batch's
+        # sim kernels execute.  The per-call slice + concat formulation
+        # this replaces dispatched ~6 extra device programs per call.
         t0 = time.perf_counter()
         counts_h = _collect_sliced(pre['counts_tok'])[0]
         self.diag.seconds['digitize_counts_fetch'] += time.perf_counter() - t0
@@ -1458,8 +1491,10 @@ class RawDataTPU:
         baseline = int(self.const.digitizer_reference_baseline)
         sizes = []
         batches_meta = []
-        # itv_meta, mask4, mask_esc, values, escapes
-        stream_parts = ([], [], [], [], [])
+        plan = []
+        lens_tot = [0, 0, 0, 0, 0]
+        caps_max = [0, 0, 0, 0, 0]
+        offs_list = []
         for ci, (batch, T_cap, nix, res) in enumerate(calls):
             n_rec = int(counts_h[ci, 0])
             n_val = int(counts_h[ci, 1])
@@ -1471,14 +1506,6 @@ class RawDataTPU:
             max_values = _bucket(max(n_val, 1), lo=4096, hi=2 ** 28)
             assert max_records >= n_rec and max_values >= n_val, \
                 (n_rec, n_val)   # truncation here silently loses records
-            packed = pack_records_encoded(
-                res['data'], res['left_all'], res['starts'],
-                res['ends'], res['itv_valid'],
-                # the slim digitize path returns TPC rows only
-                n_channels_total=int(res['data'].shape[1]),
-                n_samples=T_cap, max_intervals=max_itv,
-                max_records=max_records, max_values=max_values,
-                baseline=baseline)
             n = max(n_rec, 1)
             nv = max(n_val, 1)
             # the escape / escaped-mask exact counts live on device, so
@@ -1490,36 +1517,72 @@ class RawDataTPU:
             # most once per fraction step, not once per hot call)
             ne_bound = min(nv // 256 + 512, nv)
             me_bound = min(int(n * RawDataTPU._mesc_frac) + 64, n)
-            # meta rides raveled: calls in one round can emit different
-            # (static) meta widths — 2-word bit-packed vs 4-word plain —
-            # and the host reshapes per call from the pack's row width
-            parts = (packed['itv_meta'][:max(n_itv, 1)].reshape(-1),
-                     packed['rec_mask4'][:n],
-                     packed['rec_mask_esc'][:me_bound],
-                     packed['rec_values'][:nv],
-                     packed['rec_escapes'][:ne_bound])
-            for lst, p in zip(stream_parts, parts):
-                lst.append(p)
-            sizes.append((n_rec, n_val, n_itv, ne_bound, me_bound, packed,
-                          nix))
+            # meta width: same static condition as the pack kernel
+            B_call = _bucket(len(batch), lo=max(1, self._ev_shards),
+                             hi=2 ** 30)
+            w_meta = 2 if (B_call <= 128 and T_cap <= 8192) else 4
+            lens = (max(n_itv, 1) * w_meta, n, me_bound, nv, ne_bound)
+            caps = (min(_bucket(lens[0], lo=256), max_records * w_meta),
+                    min(_bucket(lens[1], lo=256), max_records),
+                    min(_bucket(lens[2], lo=64), max_records),
+                    min(_bucket(lens[3], lo=1024), max_values),
+                    min(_bucket(lens[4], lo=256), max_values))
+            offs_list.append(list(lens_tot))
+            for k in range(5):
+                lens_tot[k] += lens[k]
+                caps_max[k] = max(caps_max[k], caps[k])
+            plan.append((max_records, max_values, caps, w_meta))
+            sizes.append([n_rec, n_val, n_itv, ne_bound, me_bound, None,
+                          nix, w_meta])
             batches_meta.append(batch)
-        # ONE async wire copy per stream for the WHOLE round: every call's
-        # slices concatenate on device (cheap HBM copies) so the round pays
-        # a handful of 16 MB transfer slices instead of one collect round
-        # trip per digitize call (24-74 calls/run measured; 5-30 ms each
-        # through the relay)
-        if self._device_ceiling:
-            # ceiling mode: the per-call device slices above still execute
-            # (the transport prep is device work a real deployment pays)
-            # but no wire copy ever starts
-            tok = None
-        else:
-            tok = _start_sliced_copies(
-                [parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-                 for parts in stream_parts]) if sizes else None
+
+        tok = None
+        round_bufs = None
+        if sizes:
+            # round buffers sized so no write window can clamp
+            sz = [_bucket(lens_tot[k] + caps_max[k], lo=256, hi=2 ** 30)
+                  for k in range(5)]
+            out_itv = jnp.zeros(sz[0], jnp.int32)
+            out_mask4 = jnp.zeros((sz[1], 4), jnp.uint8)
+            out_mesc = jnp.zeros((sz[2], 14), jnp.uint8)
+            out_vals = jnp.zeros(sz[3], jnp.int8)
+            out_escs = jnp.zeros(sz[4], jnp.int16)
+            state = (out_itv, out_mask4, out_mesc, out_vals, out_escs)
+            offs_all = jnp.asarray(np.asarray(offs_list, np.int32))
+            for ci, (batch, T_cap, nix, res) in enumerate(calls):
+                max_records, max_values, caps, w_meta = plan[ci]
+                *state, mesc_full, escs_full = pack_records_accumulate(
+                    *state, offs_all[ci],
+                    res['data'], res['left_all'], res['starts'],
+                    res['ends'], res['itv_valid'],
+                    # the slim digitize path returns TPC rows only
+                    n_channels_total=int(res['data'].shape[1]),
+                    n_samples=T_cap, max_intervals=max_itv,
+                    max_records=max_records, max_values=max_values,
+                    baseline=baseline,
+                    itv_words_cap=caps[0], rec_rows_cap=caps[1],
+                    mesc_rows_cap=caps[2], vals_cap=caps[3],
+                    escs_cap=caps[4])
+                state = tuple(state)
+                sizes[ci][5] = {'rec_mask_esc': mesc_full,
+                                'rec_escapes': escs_full}
+            round_bufs = state
+            if not self._device_ceiling:
+                # ONE async wire copy per stream for the WHOLE round,
+                # sliced to the exact totals (the donation chain has the
+                # last pack call depending on all earlier ones, so these
+                # copies see every region filled)
+                tok = _start_sliced_copies(
+                    [buf[:max(tot, 1)] for buf, tot
+                     in zip(round_bufs, lens_tot)])
+            # ceiling mode: the pack kernels + in-place stream writes above
+            # still execute (transport prep a real deployment pays) but no
+            # wire copy ever starts
         self.diag.seconds['digitize_pack_dispatch'] += \
             time.perf_counter() - t0
-        return dict(wins=wins, sizes=sizes, batches=batches_meta, tok=tok,
+        return dict(wins=wins, sizes=[tuple(s) for s in sizes],
+                    batches=batches_meta, tok=tok,
+                    round_bufs=round_bufs,
                     baseline=baseline, dt=dt,
                     ceiling=self._device_ceiling,
                     noise_host=(self._noise_host_bank()
@@ -1603,13 +1666,12 @@ class RawDataTPU:
 
         if state.get('ceiling'):
             # device-ceiling bench mode: block until every pack kernel of
-            # the round has executed (one stacked tiny fetch — a free join
-            # in steady state, the collect runs a super-batch after
-            # dispatch), then skip the wire payload and host decode
+            # the round has executed (the donation chain makes the final
+            # round buffer depend on every pack call, so ONE tiny fetch
+            # joins them all), then skip the wire payload and host decode
             t0 = time.perf_counter()
-            if state['sizes']:
-                _fetch_in_slices([s[5]['rec_values'][:1]
-                                  for s in state['sizes']])
+            if state.get('round_bufs') is not None:
+                _fetch_in_slices([state['round_bufs'][3][-1:]])
             self.diag.seconds['digitize_payload_fetch'] += \
                 time.perf_counter() - t0
             empty = np.empty(0, raw_record_dtype(spr))
@@ -1633,9 +1695,8 @@ class RawDataTPU:
             self.diag.add('payload_value_bytes', vals_all.nbytes)
             self.diag.add('payload_escape_bytes', escs_all.nbytes)
         offs = [0, 0, 0, 0, 0]
-        for n_rec, n_val, n_itv, ne_bound, me_bound, packed, nix \
+        for n_rec, n_val, n_itv, ne_bound, me_bound, packed, nix, w_meta \
                 in state['sizes']:
-            w_meta = int(packed['itv_meta'].shape[1])
             lens = (max(n_itv, 1) * w_meta, max(n_rec, 1), me_bound,
                     max(n_val, 1), ne_bound)
             itv, mask4, mesc, vals, escs = (

@@ -43,7 +43,7 @@ def synthetic_noise(n_channels: int, length: int = 100000,
     return np.round(white + drift).astype(np.int64)
 
 
-def synthetic_pmt_ap_cdfs(n_channels: int, p_ap: float = 0.006):
+def synthetic_pmt_ap_cdfs(n_channels: int, p_ap: float = 0.025):
     """PMT afterpulse description in the reference's ``uniform_to_pmt_ap``
     schema (element -> delaytime_cdf (n_ch, n_t), amplitude_cdf, bin sizes;
     see reference wfsim/core/afterpulse.py:171-243).
@@ -51,6 +51,15 @@ def synthetic_pmt_ap_cdfs(n_channels: int, p_ap: float = 0.006):
     Two ion species with distinct delay scales, plus a small uniform tail.
     The delaytime CDF is intentionally NOT normalized to 1 — its last column
     is the per-channel afterpulse probability.
+
+    Magnitude: the default total AP probability (2.5% per detected photon,
+    summed over species) matches the measured scale of the R11410-21 tubes
+    XENONnT uses — qualification measurements report per-ion afterpulse
+    rates summing to a few percent per photoelectron, with a <10%
+    acceptance cut (Barrow et al., JINST 12 (2017) P01024,
+    arXiv:1609.01654; the reference ships per-channel measured CDFs with
+    the same normalization convention, afterpulse.py:192-204).  See
+    PARITY.md "Synthetic asset magnitudes".
     """
     out = {}
     specs = [('He', 0.55 * p_ap, 600.0, 150.0), ('Ar', 0.45 * p_ap, 2200.0, 400.0)]
@@ -68,12 +77,20 @@ def synthetic_pmt_ap_cdfs(n_channels: int, p_ap: float = 0.006):
     return out
 
 
-def synthetic_ele_ap_pmf(rate_per_photon: float = 2e-4,
+def synthetic_ele_ap_pmf(rate_per_photon: float = 5e-4,
                          n_bins: int = 200, t_max: float = 1.0e6):
     """Photoionization delay-time PMF histogram in the shape the reference's
     ``uniform_to_ele_ap`` object exposes: attributes ``n`` (expected electrons
     per detected photon), ``bin_centers`` and a ``get_random`` sampler
-    (reference: wfsim/core/afterpulse.py:33-51)."""
+    (reference: wfsim/core/afterpulse.py:33-51).
+
+    Magnitude: delayed-electron studies in LXe TPCs attribute a
+    photoionization yield of order 1e-4..1e-3 electrons per S2 photon
+    (purity-dependent) — Sorensen & Kamdin, JINST 13 (2018) P02032,
+    arXiv:1711.07025; XENON1T electron-emission analysis,
+    arXiv:2112.12116.  The default adopts 5e-4 as a representative
+    mid-scale (the reference's measured PMF carries its own ``n``).  See
+    PARITY.md "Synthetic asset magnitudes"."""
     bin_centers = np.linspace(1000.0, t_max, n_bins)
     pmf = 1.0 / bin_centers  # ~1/t tail, as observed for photoionization
     pmf /= pmf.sum()
