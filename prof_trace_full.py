@@ -21,7 +21,7 @@ from wfsim_tpu.interface.simulator import Simulator
 from bench import _make_inst
 
 
-def main(n_events=256, realistic=True):
+def main(n_events=256, realistic=True, ceiling=False):
     if realistic:
         c = default_config(enable_noise=True, enable_pmt_afterpulses=True,
                            enable_electron_afterpulses=True)
@@ -29,6 +29,8 @@ def main(n_events=256, realistic=True):
         c = default_config()
     c['chunk_size'] = 100
     c['seed'] = 1234
+    if ceiling:
+        c['_bench_device_ceiling'] = True
     inst = _make_inst(n_events, 2000, 300)
 
     sim = Simulator(c)
@@ -69,8 +71,34 @@ def main(n_events=256, realistic=True):
     for name, us in mod.most_common(24):
         print(f'{us/1e3:9.1f} ms x{nexec[name]:<5d} {name}')
 
+    # device-busy timeline: merge all device-lane X intervals and report
+    # busy fraction + the largest idle gaps (program-boundary / host stalls)
+    spans = []
+    for e in ev:
+        if e.get('ph') == 'X' and 'TPU' in pids.get(e.get('pid'), '').upper():
+            name = (e.get('args') or {}).get('group_name') or e['name']
+            if name.split('(')[0].startswith('jit_'):
+                spans.append((e['ts'], e['ts'] + e.get('dur', 0)))
+    if spans:
+        spans.sort()
+        merged = [list(spans[0])]
+        for s, t in spans[1:]:
+            if s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], t)
+            else:
+                merged.append([s, t])
+        t0_, t1_ = merged[0][0], merged[-1][1]
+        busy = sum(b - a for a, b in merged)
+        gaps = sorted(((merged[i + 1][0] - merged[i][1], merged[i][1] - t0_)
+                       for i in range(len(merged) - 1)), reverse=True)
+        print(f'device busy {busy/1e6:.2f} s of {(t1_-t0_)/1e6:.2f} s span '
+              f'({100*busy/max(t1_-t0_,1):.0f}%), {len(merged)} busy spans')
+        print('top idle gaps (ms @ s-into-span): '
+              + ', '.join(f'{g/1e3:.0f}@{at/1e6:.2f}' for g, at in gaps[:12]))
+
 
 if __name__ == '__main__':
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     r = bool(int(sys.argv[2])) if len(sys.argv) > 2 else True
-    main(n, r)
+    ceil = bool(int(sys.argv[3])) if len(sys.argv) > 3 else False
+    main(n, r, ceil)

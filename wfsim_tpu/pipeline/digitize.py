@@ -215,13 +215,31 @@ def gather_digitize(params, const, arena_t, arena_ch, arena_gain,
     j = jnp.arange(n_cap, dtype=jnp.int32)[None, :]    # (1, N)
     pidx = jnp.sum(j[:, :, None] >= cum[:, None, :], axis=2).astype(jnp.int32)
     pidx = jnp.minimum(pidx, n_pieces - 1)
-    prev = jnp.where(pidx > 0,
-                     jnp.take_along_axis(cum, jnp.maximum(pidx - 1, 0),
-                                         axis=1), 0)
-    aidx = jnp.take_along_axis(lo, pidx, axis=1) + (j - prev)
+
+    if n_pieces <= 32:
+        # one-hot select instead of take_along_axis: the (B, N) row-gathers
+        # from tiny (B, P) tables ran at <0.5 GB/s on TPU (three of them =
+        # ~17 of this kernel's 63 ms/call); the (B, N, P) masked sum fuses
+        # into one elementwise pass
+        onehot = (pidx[:, :, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pieces), 2))
+
+        def sel(tab):
+            return jnp.sum(jnp.where(onehot, tab[:, None, :], 0), axis=2)
+
+        prev = jnp.where(pidx > 0, sel(jnp.pad(cum, ((0, 0), (1, 0)))[:, :-1]),
+                         0)
+        aidx = sel(lo) + (j - prev)
+        toff_ph = sel(toff)
+    else:
+        prev = jnp.where(pidx > 0,
+                         jnp.take_along_axis(cum, jnp.maximum(pidx - 1, 0),
+                                             axis=1), 0)
+        aidx = jnp.take_along_axis(lo, pidx, axis=1) + (j - prev)
+        toff_ph = jnp.take_along_axis(toff, pidx, axis=1)
     aidx = jnp.clip(aidx, 0, arena_t.shape[0] - 1)
     in_range = j < total[:, None]
-    t = arena_t[aidx] + jnp.take_along_axis(toff, pidx, axis=1)   # (B, N)
+    t = arena_t[aidx] + toff_ph                                   # (B, N)
     ch = jnp.where(in_range, arena_ch[aidx], -1)
     gain = arena_gain[aidx]
     valid = ch >= 0
@@ -506,15 +524,39 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     left_rel = left_all[:, :, None] + starts
     nrec = jnp.where(itv_valid, (plen + spr - 1) // spr, 0)
 
-    nrec_f = nrec.reshape(-1)
-    csum = jnp.cumsum(nrec_f)
-    total_rec = csum[-1]
+    # ---- interval compaction + record->interval mapping, loop-free ----
+    # Every live (nrec > 0) interval owns >= 1 record, so n_live <= total
+    # records <= max_records: compact the live intervals' flat indices into
+    # max_records slots with ONE unique-index scatter, and derive each
+    # record's interval with a collision-free marks scatter + cumsum (the
+    # compacted record cumsum is STRICTLY increasing over the live prefix).
+    # The flat jnp.searchsorted over the (B*C*K,) cumsum this replaces
+    # lowered to a vmapped while-loop carrying the whole cumsum — measured
+    # ~215 of this kernel's 310 ms/call at bench shapes.  `pack_records`
+    # (the dense variant) keeps the searchsorted form as an independent
+    # oracle for the parity tests.
+    nrec_f = nrec.reshape(-1)                                # (M,)
+    live_f = nrec_f > 0
+    lpos = jnp.cumsum(live_f.astype(jnp.int32))              # 1-based rank
+    n_live = lpos[-1]
+    M = nrec_f.shape[0]
+    iflat = jnp.arange(M, dtype=jnp.int32)
+    take_i = jnp.zeros(max_records, jnp.int32).at[
+        jnp.where(live_f, lpos - 1, max_records)].set(iflat, mode='drop')
+    iq = jnp.arange(max_records, dtype=jnp.int32)
+    valid_i = iq < n_live
+    nrec_c = jnp.where(valid_i, nrec_f[take_i], 0)
+    csum_c = jnp.cumsum(nrec_c)
+    total_rec = csum_c[-1]
     r = jnp.arange(max_records, dtype=jnp.int32)
-    itv_of_r = jnp.searchsorted(csum, r, side='right').astype(jnp.int32)
-    itv_of_r = jnp.minimum(itv_of_r, nrec_f.shape[0] - 1)
-    base = jnp.where(itv_of_r > 0, csum[itv_of_r - 1], 0)
+    marks_r = jnp.zeros(max_records, jnp.int32).at[
+        jnp.where(valid_i, csum_c, max_records)].add(1, mode='drop')
+    itv_of_rc = jnp.minimum(jnp.cumsum(marks_r), max_records - 1)
+    base = jnp.where(itv_of_rc > 0,
+                     csum_c[jnp.maximum(itv_of_rc - 1, 0)], 0)
     record_i = (r - base).astype(jnp.int32)
     rec_valid = r < total_rec
+    itv_of_r = take_i[itv_of_rc]          # flat interval index per record
 
     w_of = itv_of_r // (C_all * K)
     c_of = (itv_of_r // K) % C_all
@@ -612,26 +654,25 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # plen <= T needs 14, wc <= 128*2048 needs 18, left_ch < T needs 13),
     # halving the meta wire bytes; expand_interval_meta dispatches on the
     # row width ----
+    # per-interval fields gathered on the COMPACTED axis (take_i is the
+    # live intervals' flat indices in ascending order — itv_live == live_f
+    # because plen >= 1  <=>  nrec >= 1), so the table is a plain masked
+    # write instead of a (B*C*K)-update scatter
     B_w = starts.shape[0]
-    itv_live = (itv_valid & (plen > 0)).reshape(-1)
-    ipos = jnp.cumsum(itv_live.astype(jnp.int32)) - 1
-    i_flat = jnp.arange(itv_live.shape[0], dtype=jnp.int32)
-    w_i = i_flat // (C_all * K)
-    c_i = (i_flat // K) % C_all
-    left_ch = jnp.broadcast_to(left_all[:, :, None], plen.shape).reshape(-1)
+    start_c = left_rel.reshape(-1)[take_i]
+    plen_c = plen.reshape(-1)[take_i]
+    wc_c = take_i // K                      # == w * C_all + c
+    w_i = wc_c // C_all
+    c_i = wc_c % C_all
+    left_ch_c = left_all.reshape(-1)[wc_c]
     if B_w <= 128 and T <= 8192:
         itv_rows = jnp.stack(
-            [(left_rel.reshape(-1) << 14) | plen.reshape(-1),
-             ((w_i * 2048 + c_i) << 13) | left_ch], axis=1).astype(jnp.int32)
-        n_words = 2
+            [(start_c << 14) | plen_c,
+             ((w_i * 2048 + c_i) << 13) | left_ch_c], axis=1)
     else:
-        itv_rows = jnp.stack([w_i * 2048 + c_i,
-                              left_rel.reshape(-1),
-                              plen.reshape(-1),
-                              left_ch], axis=1).astype(jnp.int32)
-        n_words = 4
-    itv_meta = jnp.zeros((max_records, n_words), jnp.int32).at[
-        jnp.where(itv_live, ipos, max_records)].set(itv_rows, mode='drop')
+        itv_rows = jnp.stack([w_i * 2048 + c_i, start_c, plen_c, left_ch_c],
+                             axis=1)
+    itv_meta = jnp.where(valid_i[:, None], itv_rows, 0).astype(jnp.int32)
 
     return dict(itv_meta=itv_meta, rec_masks=masks, rec_mask4=rec_mask4,
                 rec_mask_esc=rec_mask_esc, rec_values=d8,
