@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..ops.waveform import photons_to_waveform
 from ..ops.zle import zle_all_channels
 
-__all__ = ['digitize_window', 'gather_digitize', 'pack_records',
+__all__ = ['esc_capacity',
+           'digitize_window', 'gather_digitize', 'pack_records',
            'pack_records_encoded', 'decode_records', 'compact_mask4',
            'expand_mask4', 'SAMPLES_PER_RECORD', 'NOISE_PAD']
 
@@ -34,6 +35,17 @@ __all__ = ['digitize_window', 'gather_digitize', 'pack_records',
 NOISE_PAD = 16384
 
 SAMPLES_PER_RECORD = 110
+
+
+def esc_capacity(max_values: int) -> int:
+    """Static capacity of the pack kernels' DPCM escape-value stream: the
+    measured escape rate is ~1e-5 of values and the host transport bound is
+    V/256+512, so a V-sized buffer (and the (V,)-update scatter that filled
+    it) was ~256x oversized.  Shared by the pack kernels and the round-
+    buffer sizing in pipeline/rawdata.py.  If a pathological workload ever
+    produces more escapes than this, the host decode raises (loudly, not
+    silently) — raise the cap there."""
+    return min(max_values, max(65536, max_values // 64))
 
 
 def _channel_extents(t, ch, valid, n_channels, dt, before, after, store_b, store_a):
@@ -572,10 +584,18 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # during the record-array copy it makes anyway (rawdata phase 2):
     # an on-device lexsort here measured ~80 ms/call, ~2 s per bench chunk.
 
-    flat = data.reshape(-1).astype(jnp.int16)
-    col = start_s[:, None] + jnp.arange(spr, dtype=jnp.int32)[None, :]
-    gidx = ((w_of * C_all + c_of)[:, None] * T + jnp.clip(col, 0, T - 1))
-    rws = flat[gidx]
+    # record samples as 110-wide contiguous BLOCK slices (vmapped
+    # dynamic_slice lowers to a block gather): the per-element gather this
+    # replaces issued max_records*110 independent int16 loads — TPU random
+    # gathers measured ~0.45 GB/s, ~130 ms/call at bench shapes.  Blocks
+    # can overrun a record's own (clamped) row into the next channel's —
+    # every overrun sample sits past `length` and is masked below, exactly
+    # like the old per-element clamp-to-row-end reads were.
+    flat = jnp.pad(data.reshape(-1).astype(jnp.int16), (0, spr))
+    row_base = (w_of * C_all + c_of) * T
+    start_blk = row_base + jnp.clip(start_s, 0, T - 1)
+    rws = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(flat, (s,), (spr,)))(start_blk)
     in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
     rws = jnp.where(in_len & rec_valid[:, None], rws, 0).astype(jnp.int16)
 
@@ -589,10 +609,13 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     #                                           matches np.unpackbits default
 
     # compact differing values row-major (matches numpy boolean assignment).
-    # Two-level gather formulation: rows are assigned to output slots with
-    # the boundary-scatter segment trick (a flat searchsorted here lowers to
-    # a ~300 ms while-loop of gathers), and within a row the k-th set bit's
-    # column comes from a 110-wide stable argsort of the mask.
+    # Each row's differing samples are packed to its front by ONE stable
+    # 110-wide row sort carrying the samples as payload (replacing an
+    # argsort plus two (V,)-element random gathers, ~75 ms/call); slots map
+    # to rows with the boundary-marks cumsum (4 ms, vs 544 ms for a
+    # (V,)-query binary search — measured on device), and each slot's row
+    # offset comes from a boundary scatter + running max instead of a
+    # (V,)-element gather of off[row_of].
     nnz_r = dm.sum(axis=1).astype(jnp.int32)                  # (R,)
     csum_r = jnp.cumsum(nnz_r)
     marks = jnp.zeros(max_values, jnp.int32).at[csum_r].add(1, mode='drop')
@@ -601,12 +624,15 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     vq = jnp.arange(max_values, dtype=jnp.int32)
     valid_v = vq < csum_r[-1]
     off = csum_r - nnz_r                                       # (R,) exclusive
-    k_in_row = vq - off[row_of]
-    order = jnp.argsort(~dm, axis=1, stable=True).astype(jnp.int32)  # (R,110)
-    src_col = order.reshape(-1)[row_of * spr
-                                + jnp.clip(k_in_row, 0, spr - 1)]
+    bnd = jnp.zeros(max_values, jnp.int32).at[
+        jnp.where(nnz_r > 0, off, max_values)].max(off, mode='drop')
+    off_v = jax.lax.cummax(bnd)                                # == off[row_of]
+    k_in_row = vq - off_v                                      # (for valid v)
+    _, packed_vals = jax.lax.sort((~dm, rws), dimension=1, is_stable=True,
+                                  num_keys=1)
     values = jnp.where(valid_v,
-                       rws.reshape(-1)[row_of * spr + src_col],
+                       packed_vals.reshape(-1)[
+                           row_of * spr + jnp.clip(k_in_row, 0, spr - 1)],
                        0).astype(jnp.int16)
 
     # ---- DPCM the value stream: delta from the previous masked value of the
@@ -617,10 +643,23 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     esc = (jnp.abs(d) > 127) & valid_v
     d8 = jnp.where(valid_v & ~esc, d, jnp.where(valid_v, -128, 0)) \
         .astype(jnp.int8)
-    n_escapes = esc.sum().astype(jnp.int32)
-    epos = jnp.cumsum(esc.astype(jnp.int32)) - 1
-    esc_vals = jnp.zeros(max_values, jnp.int16).at[
-        jnp.where(esc, epos, max_values)].set(values, mode='drop')
+    # escapes are rare (~1e-5 of values, host bound V/256+512): compact them
+    # with an unrolled binary search over their running count at a reduced
+    # static capacity instead of a (V,)-update scatter into a (V,) buffer
+    epos1 = jnp.cumsum(esc.astype(jnp.int32))                  # 1-based
+    n_escapes = epos1[-1]
+    e_cap = esc_capacity(max_values)
+    eq = jnp.arange(e_cap, dtype=jnp.int32) + 1
+    lo = jnp.zeros(e_cap, jnp.int32)
+    hi = jnp.full(e_cap, max_values - 1, jnp.int32)
+    for _ in range(int(np.ceil(np.log2(max(max_values, 2)))) + 1):
+        mid = (lo + hi) // 2
+        go = epos1[mid] < eq
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    esc_vals = jnp.where(eq <= n_escapes,
+                         values[jnp.clip(lo, 0, max_values - 1)],
+                         0).astype(jnp.int16)
 
     # ---- compact mask transport: masked samples form <=2 contiguous runs
     # for ~83% of records (measured, realistic config), so each record ships
@@ -713,7 +752,8 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
     full bitmask form, kept for oracles/tests; not shipped), rec_mask4
     (R,4) uint8 + rec_mask_esc (R,14) uint8 (the compact wire form: <=2-run
     descriptors with escaped full masks compacted in record order),
-    rec_values (V,) int8, rec_escapes (V,) int16, n_escapes () int32).
+    rec_values (V,) int8, rec_escapes (esc_capacity(V),) int16,
+    n_escapes () int32).
     """
     return _pack_streams(data, left_all, starts, ends, itv_valid,
                          n_channels_total=n_channels_total,
@@ -724,9 +764,7 @@ def pack_records_encoded(data, left_all, starts, ends, itv_valid, *,
 
 @partial(jax.jit,
          static_argnames=('n_channels_total', 'n_samples', 'max_intervals',
-                          'max_records', 'max_values', 'baseline',
-                          'itv_words_cap', 'rec_rows_cap', 'mesc_rows_cap',
-                          'vals_cap', 'escs_cap'),
+                          'max_records', 'max_values', 'baseline'),
          donate_argnums=(0, 1, 2, 3, 4))
 def pack_records_accumulate(out_itv, out_mask4, out_mesc, out_vals, out_escs,
                             offs,
@@ -736,12 +774,7 @@ def pack_records_accumulate(out_itv, out_mask4, out_mesc, out_vals, out_escs,
                             max_intervals: int,
                             max_records: int,
                             max_values: int,
-                            baseline: int,
-                            itv_words_cap: int,
-                            rec_rows_cap: int,
-                            mesc_rows_cap: int,
-                            vals_cap: int,
-                            escs_cap: int):
+                            baseline: int):
     """:func:`pack_records_encoded`, but the five transport streams are
     written in place into donated ROUND-level buffers at host-computed
     offsets, so one digitize round ships a handful of contiguous buffers
@@ -750,12 +783,16 @@ def pack_records_accumulate(out_itv, out_mask4, out_mesc, out_vals, out_escs,
     measured the pack-phase join dominated by program-boundary overhead,
     not pack compute).
 
-    Write windows are the power-of-two ``*_cap`` bounds while offsets
-    advance by the EXACT sizes, and calls execute in offset order (the
-    donation chain serializes them), so each call's padded tail is
-    overwritten by the next call's real data; the final tail past the last
-    exact offset is sliced off host-side.  Callers must size each buffer
-    >= sum(exact sizes) + max(cap) so no dynamic_update_slice start gets
+    Each call writes its FULL natural-size streams (max_records rows /
+    max_values values) while offsets advance by the EXACT sizes, and calls
+    execute in offset order (the donation chain serializes them), so each
+    call's padded tail is overwritten by the next call's real data; the
+    final tail past the last exact offset is sliced off host-side.  The
+    full-width writes cost ~15 MB of extra HBM stores per call but keep
+    the static-shape signature to (shape, max_records, max_values) — a
+    per-call power-of-two write cap would multiply the remote-compile
+    variety ~5x.  Callers must size each buffer >= sum(exact sizes) +
+    (that stream's full width) so no dynamic_update_slice start gets
     clamped (clamping would silently corrupt an earlier call's region).
 
     :param offs: (5,) int32 device array — write offsets for (itv words,
@@ -771,15 +808,15 @@ def pack_records_accumulate(out_itv, out_mask4, out_mesc, out_vals, out_escs,
                       max_records=max_records, max_values=max_values,
                       baseline=baseline)
     out_itv = jax.lax.dynamic_update_slice(
-        out_itv, p['itv_meta'].reshape(-1)[:itv_words_cap], (offs[0],))
+        out_itv, p['itv_meta'].reshape(-1), (offs[0],))
     out_mask4 = jax.lax.dynamic_update_slice(
-        out_mask4, p['rec_mask4'][:rec_rows_cap], (offs[1], 0))
+        out_mask4, p['rec_mask4'], (offs[1], 0))
     out_mesc = jax.lax.dynamic_update_slice(
-        out_mesc, p['rec_mask_esc'][:mesc_rows_cap], (offs[2], 0))
+        out_mesc, p['rec_mask_esc'], (offs[2], 0))
     out_vals = jax.lax.dynamic_update_slice(
-        out_vals, p['rec_values'][:vals_cap], (offs[3],))
+        out_vals, p['rec_values'], (offs[3],))
     out_escs = jax.lax.dynamic_update_slice(
-        out_escs, p['rec_escapes'][:escs_cap], (offs[4],))
+        out_escs, p['rec_escapes'], (offs[4],))
     return (out_itv, out_mask4, out_mesc, out_vals, out_escs,
             p['rec_mask_esc'], p['rec_escapes'])
 

@@ -1522,16 +1522,17 @@ class RawDataTPU:
                              hi=2 ** 30)
             w_meta = 2 if (B_call <= 128 and T_cap <= 8192) else 4
             lens = (max(n_itv, 1) * w_meta, n, me_bound, nv, ne_bound)
-            caps = (min(_bucket(lens[0], lo=256), max_records * w_meta),
-                    min(_bucket(lens[1], lo=256), max_records),
-                    min(_bucket(lens[2], lo=64), max_records),
-                    min(_bucket(lens[3], lo=1024), max_values),
-                    min(_bucket(lens[4], lo=256), max_values))
+            # each accumulate call writes its FULL stream widths (see
+            # pack_records_accumulate); buffers must absorb that past the
+            # last exact offset
+            from .digitize import esc_capacity
+            full = (max_records * w_meta, max_records, max_records,
+                    max_values, esc_capacity(max_values))
             offs_list.append(list(lens_tot))
             for k in range(5):
                 lens_tot[k] += lens[k]
-                caps_max[k] = max(caps_max[k], caps[k])
-            plan.append((max_records, max_values, caps, w_meta))
+                caps_max[k] = max(caps_max[k], full[k])
+            plan.append((max_records, max_values, w_meta))
             sizes.append([n_rec, n_val, n_itv, ne_bound, me_bound, None,
                           nix, w_meta])
             batches_meta.append(batch)
@@ -1550,7 +1551,7 @@ class RawDataTPU:
             state = (out_itv, out_mask4, out_mesc, out_vals, out_escs)
             offs_all = jnp.asarray(np.asarray(offs_list, np.int32))
             for ci, (batch, T_cap, nix, res) in enumerate(calls):
-                max_records, max_values, caps, w_meta = plan[ci]
+                max_records, max_values, w_meta = plan[ci]
                 *state, mesc_full, escs_full = pack_records_accumulate(
                     *state, offs_all[ci],
                     res['data'], res['left_all'], res['starts'],
@@ -1559,10 +1560,7 @@ class RawDataTPU:
                     n_channels_total=int(res['data'].shape[1]),
                     n_samples=T_cap, max_intervals=max_itv,
                     max_records=max_records, max_values=max_values,
-                    baseline=baseline,
-                    itv_words_cap=caps[0], rec_rows_cap=caps[1],
-                    mesc_rows_cap=caps[2], vals_cap=caps[3],
-                    escs_cap=caps[4])
+                    baseline=baseline)
                 state = tuple(state)
                 sizes[ci][5] = {'rec_mask_esc': mesc_full,
                                 'rec_escapes': escs_full}
@@ -1711,6 +1709,14 @@ class RawDataTPU:
             # rows straight into their final arena slots
             n_esc = int(np.count_nonzero(vals[:n_val] == -128))
             if n_esc > ne_bound:
+                esc_full = int(packed['rec_escapes'].shape[0])
+                if n_esc > esc_full:
+                    # device escape buffer is statically capped ~256x above
+                    # the measured rate (digitize.esc_capacity); decoding
+                    # past it would silently corrupt samples
+                    raise RuntimeError(
+                        f'DPCM escape overflow: {n_esc} escapes exceed the '
+                        f'device capacity {esc_full} — raise esc_capacity')
                 escs = _fetch_in_slices([packed['rec_escapes'][:n_esc]])[0]
             n_mesc = int(np.count_nonzero(mask4[:, 0] == 255))
             if n_mesc > me_bound:
