@@ -86,7 +86,14 @@ def _pulse_truth(params, const, ph, n_truth_rows: int, row_edges=None):
     dt = const.sample_duration
 
     remainder = jnp.where(t >= 0, t % dt, (t % dt + dt) % dt)
-    max_amp_adc = gain * params.current_max[remainder] * const.current_2_adc
+    # 10-entry table lookup as a one-hot masked sum: a (N,)-element random
+    # gather runs ~0.45 GB/s on TPU while this fuses into one elementwise
+    # pass over the photon axis
+    cm = jnp.sum(
+        jnp.where(remainder[:, None]
+                  == jnp.arange(dt, dtype=jnp.int32)[None, :],
+                  params.current_max[None, :dt], 0.0), axis=1)
+    max_amp_adc = gain * cm * const.current_2_adc
     above = valid & (max_amp_adc > params.trigger_thresholds[chc])
     is_dpe = ph['is_dpe'] & valid
 
