@@ -51,6 +51,12 @@ class SimParams:
     top_mask: jnp.ndarray              # (C,) bool
     bottom_mask: jnp.ndarray           # (C,) bool
     live_mask: jnp.ndarray             # (C,) bool gains > 0
+    #: (C, 4) f32 [gain, trigger_threshold, live, bottom] — the per-channel
+    #: scalars the PMT stage reads per photon, packed so one 4-wide block
+    #: gather replaces four/five independent (N,)-element random gathers
+    #: (TPU gather cost is ~per index, not per element — see BENCH_NOTES
+    #: round 4)
+    chan_pack: jnp.ndarray
     # Maps
     s1_lce: GridMap
     s1_pattern: GridMap
@@ -477,6 +483,11 @@ def build_params(config, resource: Resource) -> SimParams:
         top_mask=jnp.asarray(top_mask),
         bottom_mask=jnp.asarray(bottom_mask),
         live_mask=jnp.asarray(gains > 0),
+        chan_pack=jnp.stack(
+            [jnp.asarray(gains, jnp.float32),
+             jnp.asarray(thr, jnp.float32),
+             jnp.asarray(gains > 0, jnp.float32),
+             jnp.asarray(bottom_mask, jnp.float32)], axis=1),
         s1_lce=g(resource.s1_lce_correction_map, 3),
         s1_pattern=g(resource.s1_pattern_map, 3),
         s2_pattern=g(resource.s2_pattern_map, 2),

@@ -36,6 +36,12 @@ def pmt_response(params, const, t, ch, valid, truth_row, key,
     k_tts, k_dpe, k_g1, k_g2 = jax.random.split(key, 4)
     n = t.shape[0]
 
+    chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
+    # one 4-wide block gather for every per-channel scalar this stage
+    # needs (gain, threshold, live, bottom) — TPU gather cost is ~per
+    # index, so the packed row is ~4x cheaper than separate gathers
+    cp = params.chan_pack[chc]
+    gain_ch = cp[:, 0]
     if preset_gain is None:
         tts = jax.random.normal(k_tts, (n,)) * (
             const.pmt_transit_time_spread / 2.35482) + const.pmt_transit_time_mean
@@ -45,17 +51,15 @@ def pmt_response(params, const, t, ch, valid, truth_row, key,
         u2 = jax.random.uniform(k_g2, (n,))
         idx1 = (u1 * 2000).astype(jnp.int32) + 1
         idx2 = (u2 * 2000).astype(jnp.int32) + 1
-        chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
-        g1 = params.gains[chc] * params.uniform_to_pe[chc, idx1]
-        g2 = params.gains[chc] * params.uniform_to_pe[chc, idx2]
+        g1 = gain_ch * params.uniform_to_pe[chc, idx1]
+        g2 = gain_ch * params.uniform_to_pe[chc, idx2]
         gain = g1 + jnp.where(is_dpe, g2, 0.0)
     else:
         is_dpe = jnp.zeros(n, dtype=bool)
         gain = preset_gain
-        chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
 
     # Photons on turned-off PMTs are dropped entirely (reference: pulse.py:89)
-    valid = valid & (ch >= 0) & (ch < params.gains.shape[0]) & params.live_mask[chc]
+    valid = valid & (ch >= 0) & (ch < params.gains.shape[0]) & (cp[:, 2] > 0)
 
     # invalid slots are marked with channel -1 so downstream consumers can
     # carry padded buffers without a separate mask
@@ -83,6 +87,7 @@ def _pulse_truth(params, const, ph, n_truth_rows: int, row_edges=None):
     t, ch, gain, valid = ph['t'], ph['ch'], ph['gain'], ph['valid']
     row = jnp.where(valid, ph['truth_row'], 0)
     chc = jnp.clip(ch, 0, params.gains.shape[0] - 1)
+    cp = params.chan_pack[chc]       # [gain, threshold, live, bottom]
     dt = const.sample_duration
 
     remainder = jnp.where(t >= 0, t % dt, (t % dt + dt) % dt)
@@ -94,14 +99,14 @@ def _pulse_truth(params, const, ph, n_truth_rows: int, row_edges=None):
                   == jnp.arange(dt, dtype=jnp.int32)[None, :],
                   params.current_max[None, :dt], 0.0), axis=1)
     max_amp_adc = gain * cm * const.current_2_adc
-    above = valid & (max_amp_adc > params.trigger_thresholds[chc])
+    above = valid & (max_amp_adc > cp[:, 1])
     is_dpe = ph['is_dpe'] & valid
 
     v1 = valid.astype(jnp.float32)
     pe_w = v1 + is_dpe.astype(jnp.float32)       # photons + dpe
     trig = above.astype(jnp.float32)
     pe_trig = trig + (above & is_dpe).astype(jnp.float32)
-    gain_over_g = jnp.where(valid, gain / jnp.maximum(params.gains[chc], 1e-30), 0.0)
+    gain_over_g = jnp.where(valid, gain / jnp.maximum(cp[:, 0], 1e-30), 0.0)
     area_trig = jnp.where(above, gain_over_g, 0.0)
 
     # truth_row is ascending by construction (photons are generated grouped
@@ -136,7 +141,7 @@ def _pulse_truth(params, const, ph, n_truth_rows: int, row_edges=None):
                         ('raw_area', gain_over_g), ('raw_area_trigger', area_trig)]:
             out[name + '_per_pmt'] = acc2(x)
     else:
-        bot = params.bottom_mask[chc] & valid
+        bot = (cp[:, 3] > 0) & valid
         if row_edges is not None:
             def accb(x):
                 return sorted_segment_sum(x, row_edges, valid=bot)
