@@ -30,18 +30,25 @@ def _argmin_abs_monotone(rows, row_idx, r):
     """index minimizing |rows[row_idx, i] - r| for nondecreasing rows —
     the vectorized equivalent of the reference's dense
     ``np.argmin(np.abs(cdf - rU[:, None]), axis=-1)`` lookups
-    (afterpulse.py:219-233), via binary search instead of an (N, T) matrix."""
+    (afterpulse.py:219-233), via the hierarchical block search (2-3 block
+    gathers, ops/randsample.py) instead of an (N, T) matrix or a log2(T)
+    scalar-gather binary search."""
+    from ..ops.randsample import search_sorted_rows
     R = rows.shape[-1]
-    lo = jnp.zeros(r.shape, jnp.int32)
-    hi = jnp.full(r.shape, R - 1, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(R, 2)))) + 1):
-        mid = (lo + hi) // 2
-        go_right = rows[row_idx, mid] < r
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    i1 = jnp.clip(lo, 0, R - 1)
+    i1 = search_sorted_rows(rows, row_idx, r, side='left')
     i0 = jnp.clip(i1 - 1, 0, R - 1)
-    pick_lo = jnp.abs(rows[row_idx, i0] - r) <= jnp.abs(rows[row_idx, i1] - r)
+    # the (i0, i1) bracket is adjacent, so both candidates ride one
+    # row-indexed 2-wide block gather of a pre-paired table (never
+    # vmap-of-dynamic_slice — ~800x slower lowering on this backend)
+    if R >= 2:
+        pairs = jnp.stack([rows[:, :-1], rows[:, 1:]], axis=-1)
+        pair = pairs.reshape(-1, 2)[
+            row_idx.astype(jnp.int32) * (R - 1) + jnp.minimum(i0, R - 2)]
+        v0 = jnp.where(i0 <= R - 2, pair[:, 0], pair[:, 1])
+        v1 = jnp.where(i1 > i0, pair[:, 1], v0)
+    else:
+        v0 = v1 = rows.reshape(-1)[row_idx.astype(jnp.int32)]
+    pick_lo = jnp.abs(v0 - r) <= jnp.abs(v1 - r)
     return jnp.where(pick_lo, i0, i1)
 
 
@@ -71,9 +78,12 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
     # (argmin index 0 is chosen iff rU1 lies at or below that midpoint,
     # tie picking index 0 like the reference's np.argmin).  Draw order and
     # shapes are unchanged, so outputs are bitwise identical.
+    # ONE wide key split for all elements (device splits cost ~10-15 ms
+    # each; the per-element split(4) chain was n_elements serialized splits)
+    eks = jax.random.split(key, 3 * n_elements)
     all_sel, all_rU0, all_aux = [], [], []
     for e in range(n_elements):
-        k0, k1, k2, key = jax.random.split(key, 4)
+        k0, k1, k2 = eks[3 * e], eks[3 * e + 1], eks[3 * e + 2]
         delay_cdf = params.pmt_ap_delay_cdf[e]
         rU0 = 1.0 - jax.random.uniform(k0, (n,))
         rU0 = rU0 / const.pmt_ap_modifier

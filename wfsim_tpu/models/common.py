@@ -13,11 +13,27 @@ def trunc_int(x):
     return jnp.trunc(x).astype(jnp.int32)
 
 
+def _key2(key):
+    """Accept either one key (split on the spot) or a pre-split pair.
+
+    Device key splits cost ~10-15 ms EACH on the target TPU (measured —
+    they dominate small fusions in the sim-kernel traces), so the hot
+    kernels do ONE wide split at their top and thread concrete keys down;
+    the single-key form remains for casual callers.
+    """
+    if isinstance(key, (tuple, list)):
+        return key[0], key[1]
+    if getattr(key, 'ndim', 0) >= 1 and key.shape[0] >= 2:
+        return key[0], key[1]
+    return jax.random.split(key)
+
+
 def singlet_triplet_delays(key, n_or_shape, singlet_ratio, t1, t3):
     """Excimer decay delays: choose singlet/triplet lifetime per sample, then
-    exponential (reference: wfsim/core/pulse.py:320-341)."""
+    exponential (reference: wfsim/core/pulse.py:320-341).  ``key`` may be a
+    pre-split pair (see :func:`_key2`)."""
     shape = (n_or_shape,) if isinstance(n_or_shape, int) else n_or_shape
-    k1, k2 = jax.random.split(key)
+    k1, k2 = _key2(key)
     is_singlet = jax.random.uniform(k1, shape) < singlet_ratio
     lifetime = jnp.where(is_singlet, t1, t3)
     return trunc_int(jax.random.exponential(k2, shape) * lifetime)
@@ -25,8 +41,9 @@ def singlet_triplet_delays(key, n_or_shape, singlet_ratio, t1, t3):
 
 def skew_normal(key, loc, scale, a, shape):
     """Azzalini skew-normal sampler (scipy.stats.skewnorm.rvs equivalent,
-    used for the S2 area-fraction-top smearing, reference s2.py:660-665)."""
-    k1, k2 = jax.random.split(key)
+    used for the S2 area-fraction-top smearing, reference s2.py:660-665).
+    ``key`` may be a pre-split pair (see :func:`_key2`)."""
+    k1, k2 = _key2(key)
     delta = a / jnp.sqrt(1.0 + a ** 2)
     u0 = jax.random.normal(k1, shape)
     v = jax.random.normal(k2, shape)

@@ -18,6 +18,9 @@ from .pmt import pmt_response, photon_time_stats
 
 __all__ = ['simulate_s1', 'NestId']
 
+#: top-level key-split width of the S1 chain (one device split per kernel)
+N_S1_KEYS = 21
+
 
 class NestId:
     """NEST interaction-type ids per recoil class (reference: s1.py:21-30)."""
@@ -50,38 +53,41 @@ def s1_n_photon_hits(params, const, positions, amp, valid, key):
     return jnp.where(valid, n, 0)
 
 
-def _custom_recoil_delays(const, key, recoil_cls, n):
+def _custom_recoil_delays(const, keys, recoil_cls, n):
     """Per-recoil-class excimer/recombination timing models
-    (reference: s1.py:262-337), all classes computed and selected."""
-    keys = jax.random.split(key, 8)
+    (reference: s1.py:262-337), all classes computed and selected.
+    ``keys``: a (>=8,) pre-split key array (device splits cost ~10-15 ms
+    each — the chain splits once at its top)."""
+    if getattr(keys, 'ndim', 0) == 0:
+        keys = jax.random.split(keys, 11)
     shape = (n,)
     # ER (reference: s1.py:281-327)
     excfrac = const.er_primary_excimer_fraction
     reco_time = const.er_recombination_time
     primary = jax.random.uniform(keys[0], shape) < excfrac
     st_prim = singlet_triplet_delays(
-        keys[1], shape, const.s1_ER_primary_singlet_fraction,
+        (keys[1], keys[2]), shape, const.s1_ER_primary_singlet_fraction,
         const.singlet_lifetime_liquid, const.triplet_lifetime_liquid)
-    u = jax.random.uniform(keys[2], shape, minval=1e-12, maxval=1.0)
+    u = jax.random.uniform(keys[3], shape, minval=1e-12, maxval=1.0)
     reco = reco_time * (-1.0 + 1.0 / u)
     reco = jnp.clip(reco, 0.0, 1000.0)   # reference pins max reco time to 1000
     st_sec = singlet_triplet_delays(
-        keys[3], shape, const.s1_ER_secondary_singlet_fraction,
+        (keys[4], keys[5]), shape, const.s1_ER_secondary_singlet_fraction,
         const.singlet_lifetime_liquid, const.triplet_lifetime_liquid)
     er = jnp.where(primary, st_prim.astype(jnp.float32),
                    reco + st_sec.astype(jnp.float32))
     # NR (reference: s1.py:329-337)
     nr = singlet_triplet_delays(
-        keys[4], shape, const.s1_NR_singlet_fraction,
+        (keys[6], keys[7]), shape, const.s1_NR_singlet_fraction,
         const.singlet_lifetime_liquid, const.triplet_lifetime_liquid
     ).astype(jnp.float32)
     # alpha (reference: s1.py:262-270)
     alpha = singlet_triplet_delays(
-        keys[5], shape, const.s1_ER_alpha_singlet_fraction,
+        (keys[8], keys[9]), shape, const.s1_ER_alpha_singlet_fraction,
         const.singlet_lifetime_liquid, const.triplet_lifetime_liquid
     ).astype(jnp.float32)
     # LED (reference: s1.py:272-279)
-    led = jax.random.uniform(keys[6], shape) * const.led_pulse_length
+    led = jax.random.uniform(keys[10], shape) * const.led_pulse_length
 
     out = er
     out = jnp.where(recoil_cls == 1, nr, out)
@@ -127,7 +133,7 @@ def s1_photon_demand(params, const, inst, key):
     """Exact total detected-photon demand of a batch (int32 scalar): the
     binomial yield draw only, (I,)-sized work.  Same key split as
     :func:`simulate_s1`, so the full kernel reproduces the same counts."""
-    keys = jax.random.split(key, 6)
+    keys = jax.random.split(key, N_S1_KEYS)
     positions = jnp.stack([inst['x'], inst['y'], inst['z']], axis=1)
     n_hits = s1_n_photon_hits(params, const, positions, inst['amp'],
                               inst['valid'], keys[0])
@@ -142,8 +148,12 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
     :param capacity: photon slot capacity (static)
     :returns: (photons, truth, total_photons) — photons as in pmt_response,
         truth with counter + timing-stat arrays per truth row.
+
+    Key layout (ONE device split — splits cost ~10-15 ms each): 0 yield /
+    1 channel / 2 optical / 3 decay / 4 spread / 5-15 custom recoil /
+    16 nest / 17-20 PMT response.
     """
-    keys = jax.random.split(key, 6)
+    keys = jax.random.split(key, N_S1_KEYS)
     positions = jnp.stack([inst['x'], inst['y'], inst['z']], axis=1)
     n_hits = s1_n_photon_hits(params, const, positions, inst['amp'],
                               inst['valid'], keys[0])
@@ -178,7 +188,8 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
                           * const.s1_decay_spread)
     if 'custom' in model:
         rc = _recoil_class(inst['recoil'])[ph_inst]
-        t = t + trunc_int(_custom_recoil_delays(const, keys[5], rc, capacity))
+        t = t + trunc_int(_custom_recoil_delays(const, keys[5:16], rc,
+                                                capacity))
     if 'nest' in model and params.nest_inv_cdf is not None:
         # tabulated NEST photon-time CDFs sampled on device (the reference
         # loops nestpy.GetPhotonTimes per instruction, s1.py:217-234)
@@ -186,7 +197,7 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
         fld = inst.get('local_field', jnp.full(inst['x'].shape,
                                                const.drift_field))[ph_inst]
         edep = inst.get('e_dep', jnp.full(inst['x'].shape, 10.0))[ph_inst]
-        t = t + trunc_int(_nest_table_delays(params, keys[2], rc, fld, edep,
+        t = t + trunc_int(_nest_table_delays(params, keys[16], rc, fld, edep,
                                              capacity))
 
     # per-truth-row photon boundaries from the count cumsum (no large
@@ -201,10 +212,11 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
 
     truth_row = inst['truth_row'][ph_inst]
     photons, truth = pmt_response(params, const, t, ch, ph_valid, truth_row,
-                                  keys[5], n_truth_rows=n_truth_rows,
+                                  keys[17:21], n_truth_rows=n_truth_rows,
                                   row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
-                              photons['truth_row'], n_truth_rows)
+                              photons['truth_row'], n_truth_rows,
+                              row_edges=row_edges)
     truth.update({'photon_' + k: v for k, v in stats.items()})
     truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32)
     totals = dict(photons=total, req_counts=n_hits)

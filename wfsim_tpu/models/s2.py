@@ -25,6 +25,10 @@ __all__ = ['simulate_s2', 'inverse_field_distortion_correction',
            'field_distortion_comsol', 'get_s2_drift_time_params',
            'get_electron_yield', 'get_s2_light_yield']
 
+#: top-level key-split width of the S2 chain (one device split per kernel;
+#: splits measured ~10-15 ms each on the target TPU)
+N_S2_KEYS = 20
+
 
 # ---------------------------------------------------------------------------
 # Field distortion
@@ -139,20 +143,22 @@ def _interp_rows(x_rows, y_rows, row_idx, q):
     the vectorized analogue of the reference's per-instruction
     ``np.interp(probabilities, y, t)`` (s2.py:338)."""
     R = x_rows.shape[-1]
-    lo = jnp.zeros(q.shape, jnp.int32)
-    hi = jnp.full(q.shape, R - 1, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(R))) + 1):
-        mid = (lo + hi) // 2
-        xm = x_rows[row_idx, mid]
-        go_right = xm < q
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    i1 = jnp.clip(lo, 1, R - 1)
+    # hierarchical block search (2-3 block gathers instead of log2(R)
+    # scalar-gather rounds; bitwise-identical bracketing index), then the
+    # four lerp operands ride ONE 4-wide block gather of an interleaved
+    # (x, y) pair table — TPU gathers cost ~10 ns per *index* nearly
+    # independent of block width
+    from ..ops.randsample import search_sorted_rows
+    i1 = jnp.clip(search_sorted_rows(x_rows, row_idx, q, side='left'),
+                  1, R - 1)
     i0 = i1 - 1
-    x0 = x_rows[row_idx, i0]
-    x1 = x_rows[row_idx, i1]
-    y0 = y_rows[row_idx, i0]
-    y1 = y_rows[row_idx, i1]
+    # (x0, y0, x1, y1) as ONE row-indexed 4-wide block gather of a
+    # pre-paired table (vmap-of-dynamic_slice lowers ~800x slower on this
+    # backend — measured; row-indexed block gathers are the fast form)
+    quad = jnp.stack([x_rows[:, :-1], y_rows[:, :-1],
+                      x_rows[:, 1:], y_rows[:, 1:]], axis=-1)   # (I, R-1, 4)
+    blk = quad.reshape(-1, 4)[row_idx.astype(jnp.int32) * (R - 1) + i0]
+    x0, y0, x1, y1 = blk[:, 0], blk[:, 1], blk[:, 2], blk[:, 3]
     w = jnp.where(x1 > x0, (q - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0)
     w = jnp.clip(w, 0.0, 1.0)
     return y0 * (1 - w) + y1 * w
@@ -214,15 +220,22 @@ def luminescence_simple(params, const, key, xy, ph_inst, ph_valid):
 
     u = jax.random.uniform(key, ph_inst.shape) * (Q - 1)
     i0 = jnp.floor(u).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, Q - 1)
     w = u - i0
-    t_ph = inv[ph_inst, i0] * (1 - w) + inv[ph_inst, i1] * w
+    # i0 <= Q-2 (u < Q-1), so the (i0, i0+1) pair rides ONE row-indexed
+    # 2-wide block gather of a pre-paired table — one gather pass instead
+    # of two (and never vmap-of-dynamic_slice, which lowers ~800x slower
+    # on this backend)
+    pairs = jnp.stack([inv[:, :-1], inv[:, 1:]], axis=-1)     # (I, Q-1, 2)
+    pair = pairs.reshape(-1, 2)[ph_inst.astype(jnp.int32) * (Q - 1) + i0]
+    t_ph = pair[:, 0] * (1 - w) + pair[:, 1] * w
     return trunc_int(jnp.where(ph_valid, t_ph, 0.0))
 
 
 def luminescence_garfield(params, const, key, xy, ph_inst, ph_valid):
-    """Garfield wire-distance timing table (reference: s2.py:380-409)."""
-    k1, k2 = jax.random.split(key)
+    """Garfield wire-distance timing table (reference: s2.py:380-409).
+    ``key`` may be a pre-split pair (models/common.py _key2)."""
+    from .common import _key2
+    k1, k2 = _key2(key)
     if const.s2_garfield_confine_position > 0:
         d = jax.random.uniform(k1, (xy.shape[0],),
                                minval=-const.s2_garfield_confine_position,
@@ -291,9 +304,10 @@ def s2_pattern_map_diffuse(params, const, key, n_electron_like, z, xy,
 
     Each (padded) electron gets a radial/azimuthal Gaussian displacement
     scaled by sqrt(drift time); patterns are looked up per electron and
-    averaged per instruction.
+    averaged per instruction.  ``key`` may be a pre-split pair.
     """
-    k1, k2 = jax.random.split(key)
+    from .common import _key2
+    k1, k2 = _key2(key)
     v = get_avg_drift_velocity(params, const, z, xy)
     if const.en_diff_trans and params.diffusion_radial_map is not None:
         d_rad = rz_lookup(params.diffusion_radial_map, z, xy) * 1e-9
@@ -329,8 +343,12 @@ def s2_pattern_map_diffuse(params, const, key, n_electron_like, z, xy,
 def s2_photon_channels(params, const, key, xy_obs, ph_inst, ph_valid,
                        pattern_override=None):
     """Channel assignment from the S2 pattern map with optional skew-normal
-    AFT smearing (reference: s2.py:615-682)."""
-    k_aft, k_ch = jax.random.split(key)
+    AFT smearing (reference: s2.py:615-682).  ``key`` may be a pre-split
+    (>=3,) key array: [k_ch, k_aft1, k_aft2]."""
+    if getattr(key, 'ndim', 0) >= 1 and key.shape[0] >= 3:
+        k_ch, k_aft = key[0], (key[1], key[2])
+    else:
+        k_aft, k_ch = jax.random.split(key)
     if pattern_override is not None:
         pattern = pattern_override
     else:
@@ -366,6 +384,11 @@ def _s2_electron_stage(params, const, inst, keys, *, e_capacity: int):
     demand pre-pass (:func:`s2_photon_demand`) can size the photon axis
     exactly before the full kernel runs.  Draw-for-draw identical between
     the pre-pass and the full chain: both split the same key the same way.
+
+    ``keys`` is the one wide top-level split (N_S2_KEYS slots): device key
+    splits cost ~10-15 ms each on the target TPU, so the whole chain
+    splits exactly once and threads key slices down (slots 0-4 here; see
+    simulate_s2 for the full layout).
     """
     x, y, z = inst['x'], inst['y'], inst['z']
 
@@ -409,7 +432,7 @@ def s2_photon_demand(params, const, inst, key, *, e_capacity: int):
     stage only, ~e_capacity work instead of photon-capacity work.  Lets the
     host size the photon axis exactly (the worst-case gain bound oversized
     it ~4-5x at bench shapes)."""
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, N_S2_KEYS)
     st = _s2_electron_stage(params, const, inst, keys, e_capacity=e_capacity)
     return jnp.sum(jnp.where(st['e_valid'], st['n_ph_per_e'],
                              0)).astype(jnp.int32)
@@ -423,8 +446,13 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     :param inst: dict with (I,) arrays: time (i32 rel), x, y, z, amp (=
         electrons), recoil, valid, truth_row
     :returns: (photons, truth, totals dict)
+
+    Key layout (ONE device split — splits cost ~10-15 ms each):
+    0-4 electron stage / 5 channel draw / 6-7 AFT skew / 8-9 diffuse
+    pattern / 10-11 luminescence / 12-13 singlet-triplet / 14 time model /
+    15-18 PMT response.
     """
-    keys = jax.random.split(key, 10)
+    keys = jax.random.split(key, N_S2_KEYS)
     st = _s2_electron_stage(params, const, inst, keys, e_capacity=e_capacity)
     z_obs, positions, xy_int = st['z_obs'], st['positions'], st['xy_int']
     n_electron, sc_gain = st['n_electron'], st['sc_gain']
@@ -432,18 +460,23 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     e_t, n_ph_per_e = st['e_t'], st['n_ph_per_e']
 
     ph_e, ph_valid, total_ph = segment_ids_from_counts(n_ph_per_e, capacity)
-    ph_inst = e_inst[ph_e]
+    # per-electron -> per-photon broadcasts as diff-scatter + cumsum
+    # (ops/segment.py expand_rows) instead of (capacity,)-index gathers:
+    # TPU gathers serialize at ~10 ns/index (~8 ms each at 2^20 photons)
+    # while the cumsum is one cheap vector pass; values are identical
+    from ..ops.segment import edges_from_counts, expand_rows
+    e_ph_edges = edges_from_counts(n_ph_per_e, capacity)           # (E+1,)
+    ph_inst = expand_rows(e_inst, e_ph_edges, capacity)
 
     # diffusion-smeared per-electron pattern averaging
     # (reference: s2.py:637-640 gates on diffusion_constant_transverse > 0)
     pattern_override = None
     if const.diffusion_constant_transverse > 0 or const.en_diff_trans:
-        k_diff, _ = jax.random.split(keys[5])
         pattern_override = s2_pattern_map_diffuse(
-            params, const, k_diff, n_electron, z_obs, positions,
+            params, const, (keys[8], keys[9]), n_electron, z_obs, positions,
             e_inst, e_valid)
 
-    ch = s2_photon_channels(params, const, keys[5], positions, ph_inst,
+    ch = s2_photon_channels(params, const, keys[5:8], positions, ph_inst,
                             ph_valid, pattern_override=pattern_override)
     ph_valid = ph_valid & (ch >= 0)
 
@@ -451,24 +484,25 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     # arrival (reference: s2.py:503-557)
     lum_model = const.s2_luminescence_model
     if lum_model == 'simple':
-        t_lum = luminescence_simple(params, const, keys[6], positions,
+        t_lum = luminescence_simple(params, const, keys[10], positions,
                                     ph_inst, ph_valid)
     elif lum_model == 'garfield':
-        t_lum = luminescence_garfield(params, const, keys[6], positions,
-                                      ph_inst, ph_valid)
+        t_lum = luminescence_garfield(params, const, (keys[10], keys[11]),
+                                      positions, ph_inst, ph_valid)
     elif lum_model == 'garfield_gas_gap':
         t_lum = trunc_int(luminescence_garfield_gasgap(
-            params, const, keys[6], positions, ph_inst, ph_valid, n_truth_rows))
+            params, const, keys[10], positions, ph_inst, ph_valid,
+            n_truth_rows))
     else:
         raise KeyError(f'{lum_model} is not a valid s2_luminescence_model')
 
     t = t_lum.astype(jnp.int32)
-    t = t + singlet_triplet_delays(keys[7], (capacity,),
+    t = t + singlet_triplet_delays((keys[12], keys[13]), (capacity,),
                                    const.singlet_fraction_gas,
                                    const.singlet_lifetime_gas,
                                    const.triplet_lifetime_gas)
     if 'optical_propagation' in const.s2_time_model and params.s2_prop_top is not None:
-        ur = jax.random.uniform(keys[8], (capacity,))[:, None]
+        ur = jax.random.uniform(keys[14], (capacity,))[:, None]
         prop_t = params.s2_prop_top(ur)
         prop_b = params.s2_prop_bottom(ur)
         is_top = ch < const.n_top_pmts
@@ -476,17 +510,16 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     elif 'zero_delay' in const.s2_time_model:
         pass
     elif 's2_time_spread around zero' in const.s2_time_model:
-        t = t + trunc_int(jax.random.normal(keys[8], (capacity,))
+        t = t + trunc_int(jax.random.normal(keys[14], (capacity,))
                           * const.s2_time_spread)
     else:
         raise KeyError(f'{const.s2_time_model} is not a valid s2_time_model')
 
-    t = t + e_t[ph_e]
+    t = t + expand_rows(e_t, e_ph_edges, capacity)
 
     # per-instruction and per-truth-row photon boundaries, derived from the
     # count cumsums (no large searchsorted/scatter: both lower to serialized
     # loops on TPU — see ops/segment.py)
-    from ..ops.segment import edges_from_counts
     e_off = edges_from_counts(n_electron, e_capacity)              # (I+1,)
     tot_ph = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(jnp.where(e_valid, n_ph_per_e, 0))])
@@ -497,15 +530,19 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     row_edges = inst_ph_off[jnp.clip(row_first_inst, 0,
                                      inst['x'].shape[0])]
 
-    truth_row = inst['truth_row'][ph_inst]
+    truth_row = expand_rows(inst['truth_row'], inst_ph_off, capacity)
     photons, truth = pmt_response(params, const, t, ch, ph_valid, truth_row,
-                                  keys[9], n_truth_rows=n_truth_rows,
+                                  keys[15:19], n_truth_rows=n_truth_rows,
                                   row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
-                              photons['truth_row'], n_truth_rows)
+                              photons['truth_row'], n_truth_rows,
+                              row_edges=row_edges)
     truth.update({'photon_' + k: v for k, v in stats.items()})
-    e_stats = photon_time_stats(e_t, e_valid, inst['truth_row'][e_inst],
-                                n_truth_rows)
+    row_e_edges = e_off[jnp.clip(row_first_inst, 0, inst['x'].shape[0])]
+    e_stats = photon_time_stats(e_t, e_valid,
+                                expand_rows(inst['truth_row'], e_off,
+                                            e_capacity),
+                                n_truth_rows, row_edges=row_e_edges)
     truth.update({'electron_' + k: v for k, v in e_stats.items()})
     truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32).at[
         jnp.where(inst['valid'], inst['truth_row'], 0)].add(

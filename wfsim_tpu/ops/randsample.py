@@ -8,12 +8,13 @@ cluster is reproducible in isolation — a capability the reference lacks
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = [
-    'categorical_from_cdf', 'sample_inverse_cdf', 'truncated_exponential',
-    'binomial', 'poisson',
+    'categorical_from_cdf', 'search_sorted_rows', 'sample_inverse_cdf',
+    'truncated_exponential', 'binomial', 'poisson',
 ]
 
 
@@ -45,15 +46,86 @@ def poisson(key, lam):
     return jnp.where(lam <= 0, 0, out).astype(jnp.int32)
 
 
+def _plan_widths(C: int):
+    """Block widths (outermost first) for the hierarchical row search:
+    innermost block <= 32 lanes, inner levels 16, outermost whatever remains
+    — minimizes the number of block gathers (the per-INDEX cost dominates a
+    TPU gather, so one (1, 32) block costs about one scalar element)."""
+    if C <= 32:
+        return [max(C, 1)]
+    prod = 32
+    n_mid = 0
+    while prod * 16 < C:
+        prod *= 16
+        n_mid += 1
+    first = -(-C // prod)
+    return [first] + [16] * n_mid + [32]
+
+
+def _level_tables(tab: jnp.ndarray, widths):
+    """Per-level block-end tables for :func:`search_sorted_rows`.
+
+    Level l is a (R * w0*...*w_{l-1}, w_l) table whose entry j holds the
+    LAST value of sub-block j — for nondecreasing rows that is the block
+    max, so one (1, w_l) block gather decides which sub-block to descend
+    into.  Rows are edge-padded (the row's final value repeats), which
+    keeps search semantics exact AND makes the level-0 gather's last lane
+    the row total (used by :func:`categorical_from_cdf` for free).
+    """
+    R, C = tab.shape
+    c_pad = int(np.prod(widths))
+    if c_pad != C:
+        tab = jnp.pad(tab, ((0, 0), (0, c_pad - C)), mode='edge')
+    x = tab.reshape((R, *widths))
+    tabs = []
+    for l in range(len(widths)):
+        ends = x
+        for _ in range(len(widths) - 1 - l):
+            ends = ends[..., -1]
+        tabs.append(ends.reshape(-1, widths[l]))
+    return tabs
+
+
+def _descend(tabs, widths, row_idx, q, count_lt, g0=None):
+    idx = row_idx.astype(jnp.int32)
+    for l, w in enumerate(widths):
+        g = tabs[l][idx] if (g0 is None or l > 0) else g0
+        c = jnp.sum(g < q[:, None] if count_lt else g <= q[:, None],
+                    axis=1).astype(jnp.int32)
+        idx = idx * w + jnp.minimum(c, w - 1)
+    return idx
+
+
+def search_sorted_rows(tab: jnp.ndarray, row_idx: jnp.ndarray,
+                       q: jnp.ndarray, *, side: str = 'right') -> jnp.ndarray:
+    """Per-sample searchsorted on per-row NONDECREASING tables, as a
+    hierarchy of wide block gathers.
+
+    Returns, per sample, the smallest index i with ``tab[row, i] > q``
+    (side='right') or ``tab[row, i] >= q`` (side='left'), clamped to
+    [0, C-1].  Bitwise-identical to the log2(C)-round binary search it
+    replaces, but costs len(_plan_widths(C)) block gathers (2 for C<=512,
+    3 for C<=8192) instead of log2(C) scalar gathers — TPU gathers are
+    per-index bound (~10 ns/index measured), so this is the difference
+    between ~2 and ~11 serialized passes at bench shapes.
+    """
+    R, C = tab.shape
+    widths = _plan_widths(C)
+    tabs = _level_tables(tab, widths)
+    idx = _descend(tabs, widths, row_idx, q, side == 'left')
+    base = row_idx.astype(jnp.int32) * int(np.prod(widths))
+    return jnp.minimum(idx - base, C - 1)
+
+
 def categorical_from_cdf(cdf_rows: jnp.ndarray,
                          row_idx: jnp.ndarray,
                          u: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample categorical draw via binary search on per-row CDFs.
+    """Per-sample categorical draw via hierarchical inverse-CDF search.
 
     Replaces the reference's per-event ``np.random.choice(channels, p=pattern)``
-    loops (wfsim/core/s1.py:152-158, s2.py:657-679) with a memory-lean
-    vectorized inverse-CDF search: log2(C) rounds of one gather each instead of
-    materializing an (n_samples, C) matrix.
+    loops (wfsim/core/s1.py:152-158, s2.py:657-679).  Draws are identical to
+    the former log2(C)-round binary search (same uniforms, same first-index-
+    above rule); the row total rides the level-0 block gather for free.
 
     :param cdf_rows: (R, C) row-wise inclusive CDFs, last column == total mass.
     :param row_idx:  (N,) int — which CDF row each sample draws from.
@@ -62,20 +134,14 @@ def categorical_from_cdf(cdf_rows: jnp.ndarray,
               (matching the reference's nan-pattern sentinel, s2.py:670-671).
     """
     n_cat = cdf_rows.shape[-1]
-    total = cdf_rows[row_idx, n_cat - 1]
+    widths = _plan_widths(n_cat)
+    tabs = _level_tables(cdf_rows, widths)
+    g0 = tabs[0][row_idx.astype(jnp.int32)]
+    total = g0[:, -1]
     target = u * total
-    lo = jnp.zeros(row_idx.shape, dtype=jnp.int32)
-    hi = jnp.full(row_idx.shape, n_cat - 1, dtype=jnp.int32)
-    import math
-    n_rounds = int(math.ceil(math.log2(max(n_cat, 2)))) + 1
-    # Find smallest index i with cdf[i] > target
-    for _ in range(n_rounds):
-        mid = (lo + hi) // 2
-        cmid = cdf_rows[row_idx, mid]
-        go_right = cmid <= target
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    out = jnp.minimum(lo, n_cat - 1).astype(jnp.int32)
+    idx = _descend(tabs, widths, row_idx, target, False, g0=g0)
+    base = row_idx.astype(jnp.int32) * int(np.prod(widths))
+    out = jnp.minimum(idx - base, n_cat - 1).astype(jnp.int32)
     return jnp.where(total > 0, out, -1)
 
 

@@ -62,6 +62,53 @@ def edges_from_counts(counts: jnp.ndarray, capacity: int):
         [jnp.zeros(1, jnp.int32), csum]).astype(jnp.int32)
 
 
+def expand_rows(vals: jnp.ndarray, edges: jnp.ndarray, capacity: int):
+    """Broadcast per-segment INTEGER values to the element axis for
+    contiguous ascending segments: ``out[i] == vals[r]`` for
+    ``i in [edges[r], edges[r+1])`` (positions past ``edges[-1]`` repeat the
+    last value; callers mask).
+
+    This replaces ``vals[seg_id]`` — a (capacity,)-index scalar gather,
+    ~10 ns/index on TPU regardless of table size — with one tiny
+    diff-scatter plus one cumsum: exact for integers because the cumsum of
+    the int32 difference sequence telescopes.
+    """
+    vals = vals.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), vals[:-1]])
+    d = jnp.zeros(capacity, jnp.int32).at[
+        jnp.clip(edges[:-1], 0, capacity)].add(vals - prev, mode='drop')
+    return jnp.cumsum(d)
+
+
+def segment_min_max(values: jnp.ndarray, seg_id: jnp.ndarray,
+                    edges: jnp.ndarray, n_segments: int,
+                    valid=None, big: int = 2 ** 31 - 1):
+    """Per-segment (min, max) of int32 values for contiguous ASCENDING
+    segment ids, via a log-step shifted reduction instead of scatter-min/max
+    (which serialize per index into small outputs on TPU, ~10 ms at 2^20
+    updates).  ~log2(N) cheap elementwise passes, exact.
+
+    Empty segments return (big, -big), matching the scatter identities.
+    """
+    n = values.shape[0]
+    big = jnp.int32(big)
+    mx = jnp.where(valid, values, -big) if valid is not None else values
+    mn = jnp.where(valid, values, big) if valid is not None else values
+    d = 1
+    while d < n:
+        same = seg_id[d:] == seg_id[:-d]
+        mx = mx.at[d:].set(jnp.where(same, jnp.maximum(mx[d:], mx[:-d]),
+                                     mx[d:]))
+        mn = mn.at[d:].set(jnp.where(same, jnp.minimum(mn[d:], mn[:-d]),
+                                     mn[d:]))
+        d *= 2
+    last = jnp.clip(edges[1:] - 1, 0, n - 1)
+    empty = edges[1:] <= edges[:-1]
+    seg_mn = jnp.where(empty, big, mn[last])
+    seg_mx = jnp.where(empty, -big, mx[last])
+    return seg_mn[:n_segments], seg_mx[:n_segments]
+
+
 def sorted_segment_sum(values: jnp.ndarray, edges: jnp.ndarray, valid=None):
     """Per-segment sum for ascending segment ids: one cumsum plus boundary
     gathers.

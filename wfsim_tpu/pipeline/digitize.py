@@ -584,18 +584,28 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # during the record-array copy it makes anyway (rawdata phase 2):
     # an on-device lexsort here measured ~80 ms/call, ~2 s per bench chunk.
 
-    # record samples as 110-wide contiguous BLOCK slices (vmapped
-    # dynamic_slice lowers to a block gather): the per-element gather this
-    # replaces issued max_records*110 independent int16 loads — TPU random
-    # gathers measured ~0.45 GB/s, ~130 ms/call at bench shapes.  Blocks
-    # can overrun a record's own (clamped) row into the next channel's —
-    # every overrun sample sits past `length` and is masked below, exactly
-    # like the old per-element clamp-to-row-end reads were.
-    flat = jnp.pad(data.reshape(-1).astype(jnp.int16), (0, spr))
+    # record samples via TWO aligned 128-wide row gathers + a log-step
+    # barrel shift: row-indexed block gathers are the only fast gather form
+    # on this TPU (~0.3 ms per 131k rows at any width <= 256), while
+    # arbitrary-start (110,)-slice gathers element-serialize at ~10 ns per
+    # SAMPLE (~150 ms/call at bench shapes — measured, bench_micro3.py).
+    # The per-record sub-block shift is 7 static-shift select passes (VPU
+    # streams, ~3 ms).  Blocks can overrun a record's own (clamped) row
+    # into the next channel's — every overrun sample sits past `length`
+    # and is masked below, exactly like the old clamp-to-row-end reads.
+    flat = jnp.pad(data.reshape(-1).astype(jnp.int16), (0, 256))
     row_base = (w_of * C_all + c_of) * T
     start_blk = row_base + jnp.clip(start_s, 0, T - 1)
-    rws = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(flat, (s,), (spr,)))(start_blk)
+    nb = flat.shape[0] // 128
+    f2 = flat[:nb * 128].reshape(nb, 128)
+    b0 = jnp.clip(start_blk // 128, 0, nb - 1)
+    off = start_blk - b0 * 128
+    x = jnp.concatenate([f2[b0], f2[jnp.minimum(b0 + 1, nb - 1)]], axis=1)
+    for sh in (64, 32, 16, 8, 4, 2, 1):
+        bit = (off & sh) > 0
+        x = jnp.where(bit[:, None],
+                      jnp.pad(x[:, sh:], ((0, 0), (0, sh))), x)
+    rws = x[:, :spr]
     in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
     rws = jnp.where(in_len & rec_valid[:, None], rws, 0).astype(jnp.int16)
 
@@ -644,19 +654,18 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     d8 = jnp.where(valid_v & ~esc, d, jnp.where(valid_v, -128, 0)) \
         .astype(jnp.int8)
     # escapes are rare (~1e-5 of values, host bound V/256+512): compact them
-    # with an unrolled binary search over their running count at a reduced
-    # static capacity instead of a (V,)-update scatter into a (V,) buffer
+    # by inverting the running escape count with the hierarchical block
+    # search (a handful of block gathers instead of log2(V) scalar-gather
+    # rounds — the unrolled binary search this replaces cost ~23 serialized
+    # gather passes at e_cap queries)
+    from ..ops.randsample import search_sorted_rows
     epos1 = jnp.cumsum(esc.astype(jnp.int32))                  # 1-based
     n_escapes = epos1[-1]
     e_cap = esc_capacity(max_values)
     eq = jnp.arange(e_cap, dtype=jnp.int32) + 1
-    lo = jnp.zeros(e_cap, jnp.int32)
-    hi = jnp.full(e_cap, max_values - 1, jnp.int32)
-    for _ in range(int(np.ceil(np.log2(max(max_values, 2)))) + 1):
-        mid = (lo + hi) // 2
-        go = epos1[mid] < eq
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(go, hi, mid)
+    # first index with epos1 >= eq  <=>  side='left' (int compares: exact)
+    lo = search_sorted_rows(epos1[None, :], jnp.zeros(e_cap, jnp.int32),
+                            eq, side='left')
     esc_vals = jnp.where(eq <= n_escapes,
                          values[jnp.clip(lo, 0, max_values - 1)],
                          0).astype(jnp.int16)

@@ -23,7 +23,8 @@ def _optical_response(params, const, t, ch, valid, truth_row, row_edges, key,
                                   n_truth_rows=n_truth_rows,
                                   row_edges=row_edges)
     stats = photon_time_stats(photons['t'], photons['valid'],
-                              photons['truth_row'], n_truth_rows)
+                              photons['truth_row'], n_truth_rows,
+                              row_edges=row_edges)
     truth.update({'photon_' + k: v for k, v in stats.items()})
     truth['n_electron'] = jnp.zeros(n_truth_rows, jnp.int32)
     return photons, truth
