@@ -111,6 +111,66 @@ def test_regrid_scattered_recovers_smooth_map():
     assert np.abs(est - true).max() < 0.1
 
 
+def test_regrid_error_bound_vs_straxen_wnn_oracle():
+    """Map-fidelity bound vs the reference's scattered-point estimator
+    (SURVEY hard part 5; round-4 verdict item 10).
+
+    Oracle: straxen's InterpolateAndExtrapolate re-implemented here (NOT
+    imported): inverse-distance (power 1) average over the 2*ndim nearest
+    scattered points (straxen/itp_map.py semantics, which
+    wfsim/load_resource.py:383-402 wraps for every WeightedNearestNeighbors
+    map).  Map: an S1-LCE-like scattered map in the real aux-file format
+    regime — cylindrical-shell point cloud with jitter, values with radial
+    and depth structure plus wall steepening.  Assertion: the loader's
+    regrid pipeline (regrid_scattered at its production n_grid) stays
+    within a max-error bound of the oracle on interior queries.
+    """
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(11)
+    # realistic map scaffold: ~4k points on jittered cylindrical shells
+    nr, nth, nz = 12, 24, 14
+    r = np.repeat(np.sqrt(np.linspace(0.01, 1.0, nr))[:, None] * 66.4,
+                  nth * nz)
+    th = np.tile(np.repeat(np.linspace(-np.pi, np.pi, nth, endpoint=False),
+                           nz), nr)
+    z = np.tile(np.linspace(-148.0, -2.0, nz), nr * nth)
+    pts = np.stack([r * np.cos(th), r * np.sin(th), z], axis=1)
+    pts += rng.normal(0, 0.8, pts.shape)
+    rr = np.hypot(pts[:, 0], pts[:, 1])
+    # LCE-like: depth gain toward the bottom, radial droop, wall steepening
+    vals = (0.12 * (1 + 0.4 * (-pts[:, 2] / 150))
+            * (1 - 0.25 * (rr / 66.4) ** 2)
+            * (1 - 0.3 * np.clip((rr - 60) / 6.4, 0, 1) ** 2))
+
+    def wnn_oracle(q):
+        k = 2 * pts.shape[1]
+        dist, idx = cKDTree(pts).query(q, k)
+        w = 1.0 / np.clip(dist, 1e-6, np.inf)
+        return np.average(vals[idx], weights=w, axis=-1)
+
+    m = regrid_scattered(pts, vals, n_grid=50)     # loader's production call
+    # interior queries (the detector volume; extrapolation beyond the hull
+    # saturates by design on both sides)
+    nq = 4000
+    qr = np.sqrt(rng.uniform(0, 1, nq)) * 62.0
+    qth = rng.uniform(-np.pi, np.pi, nq)
+    q = np.stack([qr * np.cos(qth), qr * np.sin(qth),
+                  rng.uniform(-140, -6, nq)], axis=1)
+    est = np.asarray(m(q))
+    oracle = wnn_oracle(q)
+    scale = vals.max() - vals.min()
+    err = np.abs(est - oracle)
+    # Grid NODES carry exactly straxen's estimator (regrid_scattered now
+    # uses its power-1 / 2*ndim weighting), so the residual is multilinear
+    # smoothing of the WNN estimator's inter-point dimples between nodes.
+    # Committed bound on this deliberately hard (jittered shells + wall
+    # steepening) map: max < 10% of dynamic range, mean < 1.2% — measured
+    # 8.3% / 0.6% at the production n_grid=50.
+    assert err.max() < 0.10 * scale, (err.max(), scale)
+    assert err.mean() < 0.012 * scale, (err.mean(), scale)
+
+
 def test_categorical_from_cdf_distribution():
     rng = np.random.default_rng(3)
     p = np.array([[0.1, 0.0, 0.5, 0.4], [0.25, 0.25, 0.25, 0.25]])

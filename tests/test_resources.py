@@ -173,3 +173,46 @@ def test_nest_table_cache():
     a = build_nest_timing_tables(cfg)
     b = build_nest_timing_tables(cfg)
     assert a[0] is b[0]          # memoised
+
+
+def test_get_file_path_remote_chain(tmp_path, monkeypatch):
+    """Remote resource acquisition (reference: load_resource.py:131-196):
+    a NAMED file not found locally is fetched via the GitHub-raw fallback
+    into the persistent cache — exercised with urllib mocked (no egress in
+    CI), and verified to be off by default."""
+    import urllib.request
+    from wfsim_tpu.resources import loader
+
+    cfg = {'url_base': 'https://example.invalid/aux'}
+
+    # disabled by default: no download attempted
+    monkeypatch.delenv('WFSIM_TPU_ALLOW_DOWNLOAD', raising=False)
+    calls = []
+    monkeypatch.setattr(urllib.request, 'urlretrieve',
+                        lambda url, dst: calls.append(url))
+    assert loader.get_file_path(cfg, 'no_such_map.json') is None
+    assert not calls
+
+    # enabled: url_base tried first, then the public raw bases; the file
+    # lands in the cache dir and resolves from cache on the second call
+    monkeypatch.setenv('WFSIM_TPU_ALLOW_DOWNLOAD', '1')
+    monkeypatch.setenv('WFSIM_TPU_DOWNLOAD_CACHE', str(tmp_path))
+
+    def fake_retrieve(url, dst):
+        calls.append(url)
+        if url.startswith('https://example.invalid'):
+            raise OSError('unreachable')
+        with open(dst, 'w') as f:
+            f.write('{"ok": 1}')
+    monkeypatch.setattr(urllib.request, 'urlretrieve', fake_retrieve)
+    p = loader.get_file_path(cfg, 'fax_map.json')
+    assert p is not None and p.endswith('fax_map.json')
+    import json as _json
+    with open(p) as f:
+        assert _json.load(f) == {'ok': 1}
+    assert calls[0].startswith('https://example.invalid/aux/')
+    assert 'raw.githubusercontent.com' in calls[1]
+    # second resolution: served from cache, no new fetch
+    n = len(calls)
+    assert loader.get_file_path(cfg, 'fax_map.json') == p
+    assert len(calls) == n

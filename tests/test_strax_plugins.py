@@ -91,6 +91,61 @@ def test_fax_nt_two_chunk_compute(sp):
     assert p.source_finished()
 
 
+def test_fax_nt_three_chunk_strax_invariants(sp):
+    """Hold the plugin layer to strax's REAL stream contracts over a 3+
+    chunk run, not just the shim's (round-4 verdict item 8):
+
+    - per-chunk time-sortedness and >=1 us spacing to the previous chunk
+      (the reference's _sort_check, strax_interface.py:622-640),
+    - chunk boundaries monotone and records contained in [start, end),
+    - strax.check_raw_record_overlaps semantics: no two records of one
+      channel overlap in time (re-derived here, not imported).
+    """
+    cfg = _base_config()
+    cfg['fax_config_override'] = dict(cfg['fax_config_override'],
+                                      event_rate=3, chunk_size=1, n_chunk=3)
+    cfg.update(event_rate=3, chunk_size=1, n_chunk=3)
+    p = sp.RawRecordsFromFaxNT(config=cfg)
+    p.setup()
+    dt = 10                                   # XENONnT sample_duration
+
+    last_chunk_end_time = None
+    prev_chunk_end = None
+    total = 0
+    while not p.source_finished():
+        out = p.compute()
+        rr = out['raw_records']
+        data = rr.data
+        assert rr.end >= rr.start
+        if prev_chunk_end is not None:
+            assert rr.start >= prev_chunk_end
+        prev_chunk_end = rr.end
+        if not len(data):
+            continue
+        total += len(data)
+        # sortedness within the chunk
+        assert np.diff(data['time'].astype(np.int64)).min() >= 0
+        # >= 1 us inter-chunk spacing (reference _sort_check)
+        if last_chunk_end_time is not None:
+            assert int(data['time'][0]) >= last_chunk_end_time + 1000
+        last_chunk_end_time = int(data['time'][-1])
+        # containment in the chunk bounds
+        assert int(data['time'][0]) >= rr.start
+        ends = data['time'].astype(np.int64) + \
+            data['length'].astype(np.int64) * dt
+        assert int(ends.max()) <= rr.end
+        # check_raw_record_overlaps: per channel, record intervals must
+        # not overlap
+        order = np.lexsort((data['time'], data['channel']))
+        d = data[order]
+        same_ch = d['channel'][1:] == d['channel'][:-1]
+        prev_end = (d['time'].astype(np.int64)
+                    + d['length'].astype(np.int64) * dt)[:-1]
+        assert np.all(~same_ch | (d['time'][1:].astype(np.int64)
+                                  >= prev_end))
+    assert total > 0
+
+
 def test_fax_nt_sort_check_rejects_unsorted(sp):
     p = sp.RawRecordsFromFaxNT(config=_base_config())
     p.setup()

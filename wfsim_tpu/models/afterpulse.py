@@ -119,8 +119,12 @@ def pmt_afterpulse_photons(params, const, photons, key, *, ap_capacity: int,
     # ap_capacity (overflowing calls are regenerated larger by the caller).
     pos = jnp.cumsum(sel.astype(jnp.int32))
     total = pos[-1]
-    take1 = jnp.searchsorted(
-        pos, jnp.arange(1, ap_capacity + 1, dtype=jnp.int32))
+    # invert the running selection count with the hierarchical block search
+    # (jnp.searchsorted lowers to log2(E*n) scalar-gather rounds)
+    from ..ops.randsample import search_sorted_rows
+    take1 = search_sorted_rows(
+        pos[None, :], jnp.zeros(ap_capacity, jnp.int32),
+        jnp.arange(1, ap_capacity + 1, dtype=jnp.int32), side='left')
     take1 = jnp.clip(take1, 0, sel.shape[0] - 1)
     valid1 = jnp.arange(ap_capacity, dtype=jnp.int32) < total
 

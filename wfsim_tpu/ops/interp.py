@@ -127,15 +127,18 @@ def regrid_scattered(points: np.ndarray,
                      values: np.ndarray,
                      n_grid: int = 50,
                      lows=None, highs=None,
-                     power: float = 3.0,
-                     k_neighbors: int = 8) -> GridMap:
+                     power: float = 1.0,
+                     k_neighbors: int = None) -> GridMap:
     """Host-side: resample a scattered-point map (the straxen
     ``WeightedNearestNeighbors`` representation) onto a regular grid so the
     device only ever does multilinear lookups.
 
-    Uses inverse-distance weighting over the ``k_neighbors`` nearest points —
-    the same family of estimator the reference evaluates per query
-    (straxen InterpolatingMap WNN), paid once at load time instead of per call.
+    Grid-node values use straxen's own estimator (InterpolateAndExtrapolate,
+    straxen/itp_map.py as wrapped by wfsim/load_resource.py:383-402):
+    inverse-distance (power 1) weighting over the ``2 * ndim`` nearest
+    points — paid once at load time instead of per query, so the only
+    residual error vs the reference is the multilinear interpolation
+    between grid nodes (bounded by tests/test_ops.py's WNN-oracle test).
     """
     from scipy.spatial import cKDTree
 
@@ -144,6 +147,8 @@ def regrid_scattered(points: np.ndarray,
     if values.ndim == 1:
         values = values[:, None]
     d = points.shape[1]
+    if k_neighbors is None:
+        k_neighbors = 2 * d
     if lows is None:
         lows = points.min(axis=0)
     if highs is None:

@@ -74,13 +74,16 @@ def _noise_gather(params, noise_ix, left, T):
     B, nch = left.shape
     L = params.noise_data.shape[0]
     if params.noise_ext is not None and T <= NOISE_PAD:
+        from ..ops.gather import gather_spans
         start = (NOISE_PAD + noise_ix[:, None] - left).astype(jnp.int32)
         start = jnp.clip(start, 0, params.noise_ext.shape[1] - T)
         c_io = jax.lax.broadcasted_iota(jnp.int32, (B, nch), 1)
-
-        def _slice(c, s):
-            return jax.lax.dynamic_slice(params.noise_ext, (c, s), (1, T))[0]
-        noise = jax.vmap(_slice)(c_io.reshape(-1), start.reshape(-1))
+        # one barrel-shift span gather per (window, channel) row — the
+        # vmap(dynamic_slice) form this replaces element-serializes
+        # (~10 ns/sample; bench_micro3.py)
+        Lrow = params.noise_ext.shape[1]
+        flat_start = (c_io.reshape(-1) * Lrow + start.reshape(-1))
+        noise = gather_spans(params.noise_ext.reshape(-1), flat_start, T)
         return noise.reshape(B, nch, T).astype(jnp.int32)
     idxT = jnp.arange(T, dtype=jnp.int32)
     col = (noise_ix[:, None, None] + idxT[None, None, :]
@@ -593,19 +596,10 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # streams, ~3 ms).  Blocks can overrun a record's own (clamped) row
     # into the next channel's — every overrun sample sits past `length`
     # and is masked below, exactly like the old clamp-to-row-end reads.
-    flat = jnp.pad(data.reshape(-1).astype(jnp.int16), (0, 256))
+    from ..ops.gather import gather_spans
     row_base = (w_of * C_all + c_of) * T
     start_blk = row_base + jnp.clip(start_s, 0, T - 1)
-    nb = flat.shape[0] // 128
-    f2 = flat[:nb * 128].reshape(nb, 128)
-    b0 = jnp.clip(start_blk // 128, 0, nb - 1)
-    off = start_blk - b0 * 128
-    x = jnp.concatenate([f2[b0], f2[jnp.minimum(b0 + 1, nb - 1)]], axis=1)
-    for sh in (64, 32, 16, 8, 4, 2, 1):
-        bit = (off & sh) > 0
-        x = jnp.where(bit[:, None],
-                      jnp.pad(x[:, sh:], ((0, 0), (0, sh))), x)
-    rws = x[:, :spr]
+    rws = gather_spans(data.reshape(-1).astype(jnp.int16), start_blk, spr)
     in_len = (jnp.arange(spr, dtype=jnp.int32)[None, :] < length[:, None])
     rws = jnp.where(in_len & rec_valid[:, None], rws, 0).astype(jnp.int16)
 

@@ -636,6 +636,9 @@ class RawDataTPU:
                                              'total')})
             else:
                 raise RuntimeError('afterpulse capacity runaway')
+            # PMT-afterpulse photon accounting (bench fairness: these ride
+            # the device digitize but are not in the truth n_photon sums)
+            self.diag.add('pmt_ap_photons', int(ap_h['total']))
         else:
             ap_h = None
 

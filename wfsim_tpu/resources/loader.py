@@ -81,10 +81,70 @@ def _search_dirs(config):
     return dirs
 
 
+#: GitHub raw bases the reference falls back to for named public aux files
+#: (load_resource.py:178-196: private ntauxfiles checkout first, then the
+#: public repositories raw URLs)
+_GITHUB_RAW_BASES = (
+    'https://raw.githubusercontent.com/XENONnT/private_nt_aux_files/master/sim_files/',  # noqa: E501
+    'https://raw.githubusercontent.com/XENONnT/WFSim/master/files/',
+    'https://raw.githubusercontent.com/XENON1T/WFSim/master/files/',
+)
+
+
+def _download_cache_dir():
+    d = os.environ.get('WFSIM_TPU_DOWNLOAD_CACHE') or osp.join(
+        osp.expanduser('~'), '.cache', 'wfsim_tpu_aux')
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _fetch_remote(config, fname):
+    """Remote acquisition chain for a NAMED public resource, mirroring the
+    reference's get_file_path (load_resource.py:131-196): straxen
+    MongoDownloader when a straxen install + DB credentials exist, then
+    GitHub raw URLs (``url_base`` may override the first base).  Downloads
+    land in a persistent cache dir keyed by file name.  Disabled unless
+    ``WFSIM_TPU_ALLOW_DOWNLOAD=1`` (simulation hosts are often air-gapped;
+    this environment has no egress, so the chain is exercised only by the
+    mocked unit test)."""
+    if os.environ.get('WFSIM_TPU_ALLOW_DOWNLOAD') != '1':
+        return None
+    cache = _download_cache_dir()
+    cached = osp.join(cache, fname)
+    if osp.exists(cached):
+        return cached
+    try:                                   # straxen MongoDownloader path
+        from straxen import MongoDownloader
+        path = MongoDownloader().download_single(fname)
+        if path and osp.exists(path):
+            return path
+    except Exception:
+        pass
+    bases = []
+    ub = config.get('url_base', '')
+    if isinstance(ub, str) and ub.startswith('http'):
+        bases.append(ub if ub.endswith('/') else ub + '/')
+    bases += list(_GITHUB_RAW_BASES)
+    import urllib.request
+    for base in bases:
+        try:
+            tmp = cached + '.part'
+            urllib.request.urlretrieve(base + fname, tmp)
+            os.replace(tmp, cached)
+            log.info('downloaded %s from %s', fname, base)
+            return cached
+        except Exception:
+            continue
+    return None
+
+
 def get_file_path(config, fname):
     """Resolve a resource file name to a local path, or None.
-    (Reference tries package data, a Mongo downloader and GitHub raw URLs,
-    load_resource.py:131-196; in this framework resolution is local-only.)"""
+
+    Resolution chain (reference: load_resource.py:131-196): absolute path →
+    local ``url_base`` dir / $WFSIM_TPU_AUX_DIR → remote acquisition
+    (straxen MongoDownloader, then GitHub raw URLs into a persistent cache;
+    opt-in via WFSIM_TPU_ALLOW_DOWNLOAD=1)."""
     if not fname or not isinstance(fname, str):
         return None
     if fname.startswith('/'):
@@ -93,7 +153,7 @@ def get_file_path(config, fname):
         p = osp.join(d, fname)
         if osp.exists(p):
             return p
-    return None
+    return _fetch_remote(config, fname)
 
 
 def _read_any(path):
