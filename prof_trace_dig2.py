@@ -72,12 +72,8 @@ def main(n_events=256, realistic=False):
         me_bound = min(int(n * 0.25) + 64, n)
         w_meta = 2 if (pieces.shape[0] <= 128 and kw['n_samples'] <= 8192) else 4
         lens = (max(n_itv, 1) * w_meta, n, me_bound, nv, ne_bound)
-        caps = (min(rd._bucket(lens[0], lo=256), mr * w_meta),
-                min(rd._bucket(lens[1], lo=256), mr),
-                min(rd._bucket(lens[2], lo=64), mr),
-                min(rd._bucket(lens[3], lo=1024), mv),
-                min(rd._bucket(lens[4], lo=256), mv))
-        sz = [rd._bucket(lens[k] + caps[k], lo=256, hi=2 ** 30)
+        full = (mr * w_meta, mr, mr, mv, dg.esc_capacity(mv))
+        sz = [rd._bucket(lens[k] + full[k], lo=256, hi=2 ** 30)
               for k in range(5)]
         state = (jnp.zeros(sz[0], jnp.int32),
                  jnp.zeros((sz[1], 4), jnp.uint8),
@@ -90,9 +86,7 @@ def main(n_events=256, realistic=False):
             res['ends'], res['itv_valid'],
             n_channels_total=int(res['data'].shape[1]),
             n_samples=kw['n_samples'], max_intervals=kw['max_intervals'],
-            max_records=mr, max_values=mv, baseline=baseline,
-            itv_words_cap=caps[0], rec_rows_cap=caps[1],
-            mesc_rows_cap=caps[2], vals_cap=caps[3], escs_cap=caps[4])
+            max_records=mr, max_values=mv, baseline=baseline)
         np.asarray(out[3][-1:])
         return dict(n_rec=n_rec, n_val=n_val, n_itv=n_itv, mr=mr, mv=mv)
 

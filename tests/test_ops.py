@@ -259,3 +259,82 @@ def test_concat_records_paths():
         out3['time'], np.r_[np.arange(30), np.arange(40, 100)])
     # single part passes through
     assert concat_records([base]) is base
+
+
+def test_search_sorted_rows_matches_binary_search():
+    """The hierarchical block search is bitwise-identical to per-row
+    searchsorted for both sides, across widths that exercise 1, 2 and 3
+    levels (including non-power-of-two C with edge padding)."""
+    from wfsim_tpu.ops.randsample import search_sorted_rows
+    rng = np.random.default_rng(5)
+    for C in (7, 31, 32, 33, 494, 512, 613, 4883):
+        R = 13
+        tab = np.sort(rng.normal(0, 1, (R, C)).astype(np.float32), axis=1)
+        # inject duplicate runs (CDF ties) to exercise tie rules
+        tab[:, C // 3:C // 3 + min(5, C - C // 3)] = tab[:, C // 3][:, None]
+        row = rng.integers(0, R, 500).astype(np.int32)
+        q = rng.normal(0, 1.2, 500).astype(np.float32)
+        # include exact table values among the queries (tie edge cases)
+        q[:100] = tab[row[:100], rng.integers(0, C, 100)]
+        for side in ('left', 'right'):
+            got = np.asarray(search_sorted_rows(
+                jnp.asarray(tab), jnp.asarray(row), jnp.asarray(q),
+                side=side))
+            want = np.minimum(
+                np.array([np.searchsorted(tab[r], x, side=side)
+                          for r, x in zip(row, q)]), C - 1)
+            np.testing.assert_array_equal(got, want, err_msg=f'C={C} {side}')
+
+
+def test_expand_rows_matches_gather():
+    from wfsim_tpu.ops.segment import expand_rows, edges_from_counts
+    rng = np.random.default_rng(6)
+    counts = rng.integers(0, 7, 50).astype(np.int32)
+    cap = 256
+    edges = np.asarray(edges_from_counts(jnp.asarray(counts), cap))
+    vals = rng.integers(-10**6, 10**6, 50).astype(np.int32)
+    got = np.asarray(expand_rows(jnp.asarray(vals), jnp.asarray(edges), cap))
+    seg = np.repeat(np.arange(50), counts)
+    want = vals[seg]
+    np.testing.assert_array_equal(got[:len(seg)], want)
+    if len(seg) < cap and len(seg):
+        # tail repeats the last value (callers mask)
+        assert np.all(got[len(seg):] == vals[seg[-1]])
+
+
+def test_segment_min_max_matches_scatter():
+    from wfsim_tpu.ops.segment import segment_min_max, edges_from_counts
+    rng = np.random.default_rng(7)
+    S, cap = 40, 2048
+    counts = rng.integers(0, 30, S).astype(np.int32)
+    counts[3] = 0                      # empty segment
+    total = int(counts.sum())
+    edges = np.asarray(edges_from_counts(jnp.asarray(counts), cap))
+    seg = np.repeat(np.arange(S), counts)
+    seg_pad = np.concatenate([seg, np.full(cap - total, S - 1)]).astype(np.int32)
+    vals = rng.integers(-10**8, 10**8, cap).astype(np.int32)
+    valid = np.arange(cap) < total
+    mn, mx = segment_min_max(jnp.asarray(vals), jnp.asarray(seg_pad),
+                             jnp.asarray(edges), S,
+                             valid=jnp.asarray(valid))
+    BIG = 2**31 - 1
+    for s in range(S):
+        sel = vals[:total][seg == s]
+        if len(sel):
+            assert int(mn[s]) == sel.min() and int(mx[s]) == sel.max()
+        else:
+            assert int(mn[s]) == BIG and int(mx[s]) == -BIG
+
+
+def test_stream_compact_matches_compress():
+    from wfsim_tpu.ops.gather import stream_compact
+    rng = np.random.default_rng(9)
+    for n, p in ((1, 1.0), (7, 0.5), (128, 0.3), (1000, 0.05),
+                 (4096, 0.9), (4096, 0.0)):
+        vals = rng.integers(-30000, 30000, n).astype(np.int16)
+        mask = rng.random(n) < p
+        out_len = max(int(mask.sum()), 1)
+        got = np.asarray(stream_compact(jnp.asarray(vals),
+                                        jnp.asarray(mask), out_len))
+        want = vals[mask][:out_len]
+        np.testing.assert_array_equal(got[:len(want)], want)

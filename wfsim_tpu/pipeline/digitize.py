@@ -554,11 +554,14 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     live_f = nrec_f > 0
     lpos = jnp.cumsum(live_f.astype(jnp.int32))              # 1-based rank
     n_live = lpos[-1]
-    M = nrec_f.shape[0]
-    iflat = jnp.arange(M, dtype=jnp.int32)
-    take_i = jnp.zeros(max_records, jnp.int32).at[
-        jnp.where(live_f, lpos - 1, max_records)].set(iflat, mode='drop')
     iq = jnp.arange(max_records, dtype=jnp.int32)
+    # rank inversion via the hierarchical block search (the (M,)-index
+    # scatter it replaces cost ~10 ns per SOURCE slot — M = B*C*K is ~15x
+    # the live count at bench shapes)
+    from ..ops.randsample import search_sorted_rows
+    take_i = search_sorted_rows(lpos[None, :],
+                                jnp.zeros(max_records, jnp.int32),
+                                iq + 1, side='left')
     valid_i = iq < n_live
     nrec_c = jnp.where(valid_i, nrec_f[take_i], 0)
     csum_c = jnp.cumsum(nrec_c)
@@ -571,12 +574,20 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
                      csum_c[jnp.maximum(itv_of_rc - 1, 0)], 0)
     record_i = (r - base).astype(jnp.int32)
     rec_valid = r < total_rec
-    itv_of_r = take_i[itv_of_rc]          # flat interval index per record
 
-    w_of = itv_of_r // (C_all * K)
-    c_of = (itv_of_r // K) % C_all
-    plen_f = plen.reshape(-1)[itv_of_r]
-    left_f = left_rel.reshape(-1)[itv_of_r]
+    # per-interval fields once on the COMPACTED axis (max_records gathers),
+    # then broadcast to records with diff-cumsum expands (records of one
+    # interval are consecutive) — replaces three more per-RECORD gathers
+    from ..ops.segment import expand_rows
+    start_c = left_rel.reshape(-1)[take_i]
+    plen_c = plen.reshape(-1)[take_i]
+    wc_c = take_i // K                      # == w * C_all + c
+    rec_edges = jnp.concatenate([jnp.zeros(1, jnp.int32), csum_c])
+    wc_f = expand_rows(wc_c, rec_edges, max_records)
+    w_of = wc_f // C_all
+    c_of = wc_f % C_all
+    plen_f = expand_rows(plen_c, rec_edges, max_records)
+    left_f = expand_rows(start_c, rec_edges, max_records)
 
     start_s = left_f + record_i * spr
     length = jnp.clip(plen_f - record_i * spr, 0, spr)
@@ -622,9 +633,6 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # (V,)-element gather of off[row_of].
     nnz_r = dm.sum(axis=1).astype(jnp.int32)                  # (R,)
     csum_r = jnp.cumsum(nnz_r)
-    marks = jnp.zeros(max_values, jnp.int32).at[csum_r].add(1, mode='drop')
-    row_of = jnp.cumsum(marks)                                 # (V,)
-    row_of = jnp.clip(row_of, 0, max_records - 1)
     vq = jnp.arange(max_values, dtype=jnp.int32)
     valid_v = vq < csum_r[-1]
     off = csum_r - nnz_r                                       # (R,) exclusive
@@ -632,12 +640,14 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
         jnp.where(nnz_r > 0, off, max_values)].max(off, mode='drop')
     off_v = jax.lax.cummax(bnd)                                # == off[row_of]
     k_in_row = vq - off_v                                      # (for valid v)
-    _, packed_vals = jax.lax.sort((~dm, rws), dimension=1, is_stable=True,
-                                  num_keys=1)
-    values = jnp.where(valid_v,
-                       packed_vals.reshape(-1)[
-                           row_of * spr + jnp.clip(k_in_row, 0, spr - 1)],
-                       0).astype(jnp.int16)
+    # the value stream is the row-major masked elements: a gather-free
+    # log-step stream compaction (ops/gather.py stream_compact) — the row
+    # sort + per-index flat gather this replaces measured 35 ms/call at
+    # 4.2M values vs ~7 ms (gathers serialize per index; the compaction's
+    # log2(R*110) select passes stream on the VPU)
+    from ..ops.gather import stream_compact
+    vals_c = stream_compact(rws.reshape(-1), dm.reshape(-1), max_values)
+    values = jnp.where(valid_v, vals_c, 0).astype(jnp.int16)
 
     # ---- DPCM the value stream: delta from the previous masked value of the
     # same record (baseline for each record's first masked value) ----
@@ -701,9 +711,7 @@ def _pack_streams(data, left_all, starts, ends, itv_valid, *,
     # because plen >= 1  <=>  nrec >= 1), so the table is a plain masked
     # write instead of a (B*C*K)-update scatter
     B_w = starts.shape[0]
-    start_c = left_rel.reshape(-1)[take_i]
-    plen_c = plen.reshape(-1)[take_i]
-    wc_c = take_i // K                      # == w * C_all + c
+    # start_c / plen_c / wc_c already computed on the compacted axis above
     w_i = wc_c // C_all
     c_i = wc_c % C_all
     left_ch_c = left_all.reshape(-1)[wc_c]
