@@ -204,8 +204,13 @@ def simulate_s1(params, const, inst, key, *, capacity: int, n_truth_rows: int):
     # searchsorted/scatter on device — see ops/segment.py)
     from ..ops.segment import edges_from_counts
     inst_ph_off = edges_from_counts(n_hits, capacity)              # (I+1,)
-    row_first_inst = jnp.searchsorted(
-        inst['truth_row'].astype(jnp.int32),
+    # hierarchical block search with a sentinel column (jnp.searchsorted
+    # lowers to a vmapped while-loop, ~9 ms traced; see models/s2.py)
+    from ..ops.randsample import search_sorted_rows
+    tr_ext = jnp.concatenate([inst['truth_row'].astype(jnp.int32),
+                              jnp.full(1, 2 ** 30, jnp.int32)])
+    row_first_inst = search_sorted_rows(
+        tr_ext[None, :], jnp.zeros(n_truth_rows + 1, jnp.int32),
         jnp.arange(n_truth_rows + 1, dtype=jnp.int32), side='left')
     row_edges = inst_ph_off[jnp.clip(row_first_inst, 0,
                                      inst['x'].shape[0])]

@@ -524,8 +524,15 @@ def simulate_s2(params, const, inst, key, *, e_capacity: int, capacity: int,
     tot_ph = jnp.concatenate([jnp.zeros(1, jnp.int32),
                               jnp.cumsum(jnp.where(e_valid, n_ph_per_e, 0))])
     inst_ph_off = jnp.clip(tot_ph[e_off], 0, capacity)             # (I+1,)
-    row_first_inst = jnp.searchsorted(
-        inst['truth_row'].astype(jnp.int32),
+    # jnp.searchsorted lowers to a vmapped while-loop (9 ms traced even at
+    # 1k queries); the hierarchical block search is the fast exact form.
+    # A sentinel column keeps the one-past-the-end result searchsorted can
+    # return (the search clamps to its table width).
+    from ..ops.randsample import search_sorted_rows
+    tr_ext = jnp.concatenate([inst['truth_row'].astype(jnp.int32),
+                              jnp.full(1, 2 ** 30, jnp.int32)])
+    row_first_inst = search_sorted_rows(
+        tr_ext[None, :], jnp.zeros(n_truth_rows + 1, jnp.int32),
         jnp.arange(n_truth_rows + 1, dtype=jnp.int32), side='left')
     row_edges = inst_ph_off[jnp.clip(row_first_inst, 0,
                                      inst['x'].shape[0])]

@@ -107,15 +107,17 @@ def photons_to_waveform(times, channels, gains, valid,
 
     # Histogram layout (C, dt, T): the sample axis stays minormost so the
     # array is lane-aligned — a (..., dt=10)-minormost layout would be padded
-    # 10 -> 128 lanes by the TPU (12.8x the HBM footprint).  The scatter
-    # writes the 2-D (C*dt, T+L-1) TILED array directly, with the causal
-    # pad built in: the flat-scatter + reshape form paid a ~10 ms retile
-    # copy per digitize call (trace: reshape.2 + copy.45), and the MXU
-    # conv's jnp.pad another — both gone.
-    Tp = n_samples + L - 1
-    rows = ch.astype(jnp.int32) * dt + r
-    H2 = jnp.zeros((n_channels * dt, Tp), dtype=jnp.float32)
-    H2 = H2.at[rows, s + (L - 1)].add(g)
+    # 10 -> 128 lanes by the TPU (12.8x the HBM footprint).
+    # (A 2-D (C*dt, T+L-1) pre-padded variant consumed segment-wise by the
+    # MXU matmul won its isolated A/B, bench_micro6.py v2, but REGRESSED
+    # in the full gather_digitize context: the per-segment slice/reshape
+    # copies outweighed the single retile once the downstream ADC/ZLE
+    # consumers were fused in — 46.5 -> 58.1 ms/call traced.  Kept on the
+    # flat-scatter + retile form.)
+    flat_idx = (ch.astype(jnp.int32) * dt + r) * n_samples + s
+    H = jnp.zeros((n_channels * dt * n_samples,), dtype=jnp.float32)
+    H = H.at[flat_idx].add(g)
+    H = H.reshape(n_channels, dt, n_samples)
 
     # W[c, u] = sum_{r,k} H[c, r, u - k] * T[r, k] — causal conv along the
     # sample axis with the dt phases as input features.
@@ -123,13 +125,8 @@ def photons_to_waveform(times, channels, gains, valid,
         # Banded-matmul form: XLA lowers the (O=1, I=10, W=22) conv to a
         # VPU loop fusion (~220 MACs/sample, measured 26 ms per digitize
         # call); expressing each 128-sample output block as
-        # (rows, 10*149) x (10*149, 128) runs on the MXU instead.  The
-        # histogram stays 2-D all the way into the per-segment slices —
-        # the (C, dt, T) reshape retiled ~83 MB per call (A/B'd in
-        # bench_micro6.py: 38 -> 31 ms/call end to end).
-        return _conv_templates_mxu_2d(H2, templates.astype(jnp.float32),
-                                      n_channels)
-    H = H2.reshape(n_channels, dt, Tp)[:, :, L - 1:]
+        # (rows, 10*149) x (10*149, 128) runs on the MXU instead.
+        return _conv_templates_mxu(H, templates.astype(jnp.float32))
     kernel = jnp.flip(templates, axis=1).astype(jnp.float32)  # (dt, L)
     kernel = kernel[None, :, :]                               # (O=1, I=dt, L)
     W = jax.lax.conv_general_dilated(
@@ -144,35 +141,6 @@ def photons_to_waveform(times, channels, gains, valid,
         precision=jax.lax.Precision.HIGHEST,
     )
     return W[:, 0, :]
-
-
-def _conv_templates_mxu_2d(H2, templates, R):
-    """Banded-matmul superposition on the 2-D (R*dt, T+L-1) pre-padded
-    histogram: per 128-sample output block, slice (R*dt, M) and contract
-    the (dt, M) pair against the banded template matrix.  Avoids the big
-    (R, dt, T) retile the 3-D form paid (bench_micro6.py v2)."""
-    RD, TpL = H2.shape
-    dt = RD // R
-    L = templates.shape[1]
-    T = TpL - (L - 1)
-    S = 128
-    nseg = T // S
-    M = S + L - 1
-    u = jnp.arange(S, dtype=jnp.int32)[None, :]
-    m = jnp.arange(M, dtype=jnp.int32)[:, None]
-    k = u - m + (L - 1)                                     # (M, S)
-    band = jnp.where((k >= 0) & (k < L),
-                     templates[:, jnp.clip(k, 0, L - 1)],   # (dt, M, S)
-                     0.0).reshape(dt * M, S)
-    outs = []
-    for j in range(nseg):
-        Pj = jax.lax.dynamic_slice(H2, (0, j * S), (RD, M))
-        outs.append(jax.lax.dot_general(
-            Pj.reshape(R, dt * M), band,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
-    return jnp.concatenate(outs, axis=1)
 
 
 def _conv_templates_mxu(H, templates, prepadded=False):
