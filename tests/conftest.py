@@ -20,6 +20,22 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# XLA:CPU leaks a few anonymous JIT-code mappings per compiled executable
+# for the life of the process (see _bounded_jit_code_maps below); the
+# suite's program count keeps growing with coverage and can cross the
+# kernel's default vm.max_map_count (65530) even with per-module cache
+# drops, after which mmap failures surface as segfaults inside the XLA
+# compiler.  Best-effort raise (privileged CI containers allow it;
+# silently skipped elsewhere — the per-module cache clearing remains the
+# first line of defense).
+try:
+    with open('/proc/sys/vm/max_map_count', 'r+') as _f:
+        if int(_f.read()) < 262144:
+            _f.seek(0)
+            _f.write('262144')
+except (OSError, PermissionError):
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
